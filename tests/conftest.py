@@ -1,0 +1,34 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests never require TPU hardware; multi-chip sharding is validated on
+virtual CPU devices (`xla_force_host_platform_device_count`), the same
+mechanism the driver uses for `dryrun_multichip`.
+
+This environment pre-registers a TPU backend at interpreter startup (a
+sitecustomize sets ``jax.config.jax_platforms = "axon,cpu"``, which takes
+precedence over the JAX_PLATFORMS env var), so we must override the *config*
+and clear any already-initialized backends, not just set env vars.
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+if _xb.backends_are_initialized():
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
