@@ -1,0 +1,140 @@
+"""Point2Point + KLD losses, fused for the jitted train step.
+
+Numerical contract (reference losses.py):
+
+* ``p2p_loss`` (losses.py:47-82): reconstruct the pole vertices from the
+  network's grid output exactly as ``grid_to_vertices`` does, then
+  ``f_pos·MSE(v, target_pos) + f_nor·mean(1 − cos(normals, target_nor))
+  + f_lap·MSE(lap, target_lap)``, where normals and Laplacian are computed
+  *on the predicted vertices each step* (losses.py:53-57) and targets come
+  precomputed from the dataset's ``(V, 9)`` rows (pos | normal | laplacian).
+* ``kld_loss`` (losses.py:105): ``mean_B(−0.5·mean_dims(1 + logvar − mu²
+  − exp(logvar)))`` — **mean over latent dims, not sum** (the reference's
+  documented deviation from the standard sum form).
+* ``P2PKLD = P2P + factor_kl·KLD`` with ``factor_kl`` starting at 1.0 and
+  decaying ×factor_gamma every factor_step_size epochs (reference
+  run.py:439,491-493; losses.py:116-118) — here a pure function of the epoch
+  so it stays jit-friendly.
+
+Loss factors per model (reference run.py:689-696): AE pos/nor/lap = 1/0/0;
+VAE 0.6/0.2/0.2. Terms with factor 0 are skipped at trace time, so the AE
+step never builds the normals/Laplacian graph.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from geniconet_tpu.ops.mesh_math import laplacian, vertex_normals
+from geniconet_tpu.ops.vertices import grid_to_vertices
+
+__all__ = ["LossFactors", "p2p_loss", "kld_loss", "p2pkld_loss", "kl_factor_at_epoch"]
+
+
+@dataclass(frozen=True)
+class LossFactors:
+    pos: float = 1.0
+    nor: float = 0.0
+    lap: float = 0.0
+    kl: float = 0.0  # multiplied by the epoch schedule at call time
+
+    @staticmethod
+    def ae() -> "LossFactors":
+        return LossFactors(1.0, 0.0, 0.0, 0.0)
+
+    @staticmethod
+    def vae() -> "LossFactors":
+        return LossFactors(0.6, 0.2, 0.2, 1.0)
+
+
+def p2p_loss(
+    output_grid: jnp.ndarray,
+    target: jnp.ndarray,
+    subdivisions: int,
+    factors: LossFactors,
+):
+    """P2P loss on a grid prediction vs a (B, V, 9) target.
+
+    Args:
+      output_grid: (B, 5·2^s, 2^(s+1), 3) network output.
+      target: (B, V, 9) = [pos | normals | laplacian] per vertex.
+
+    Returns:
+      (loss, metrics dict with 'mse', 'cos', 'lap' component values).
+    """
+    v = grid_to_vertices(output_grid.astype(jnp.float32), subdivisions)  # (B, V, 3)
+    t = target.astype(jnp.float32)
+    t_pos = t[..., 0:3]
+
+    l_pos = jnp.mean((v - t_pos) ** 2)
+    loss = factors.pos * l_pos
+    metrics = {"mse": l_pos}
+
+    if factors.nor != 0.0:
+        t_nor = t[..., 3:6]
+        n = vertex_normals(v, subdivisions)
+        # torch CosineSimilarity(dim=2) semantics: eps-clamped norms
+        eps = 1e-8
+        denom = jnp.maximum(
+            jnp.linalg.norm(n, axis=-1) * jnp.linalg.norm(t_nor, axis=-1), eps
+        )
+        cos = jnp.sum(n * t_nor, axis=-1) / denom
+        l_nor = jnp.mean(1.0 - cos)
+        loss = loss + factors.nor * l_nor
+        metrics["cos"] = l_nor
+    else:
+        metrics["cos"] = jnp.zeros(())
+
+    if factors.lap != 0.0:
+        t_lap = t[..., 6:9]
+        lap = laplacian(v, subdivisions)
+        l_lap = jnp.mean((lap - t_lap) ** 2)
+        loss = loss + factors.lap * l_lap
+        metrics["lap"] = l_lap
+    else:
+        metrics["lap"] = jnp.zeros(())
+
+    return loss, metrics
+
+
+def kld_loss(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """mean_B(−0.5·mean_dims(1 + logvar − mu² − exp(logvar))) (losses.py:105)."""
+    mu = mu.astype(jnp.float32).reshape(mu.shape[0], -1)
+    logvar = logvar.astype(jnp.float32).reshape(logvar.shape[0], -1)
+    per_sample = -0.5 * jnp.mean(1.0 + logvar - mu**2 - jnp.exp(logvar), axis=1)
+    return jnp.mean(per_sample)
+
+
+def kl_factor_at_epoch(
+    epoch, initial: float = 1.0, step_size: int = 25, gamma: float = 0.9
+):
+    """KL factor schedule as a pure function of epoch.
+
+    The reference multiplies the factor by ``gamma`` at the end of every
+    epoch where ``(epoch+1) % step_size == 0`` (run.py:491-493 calling
+    losses.py:116-118 with epoch+1), i.e. during epoch ``e`` the factor is
+    ``initial * gamma^(e // step_size)``.
+    """
+    e = jnp.asarray(epoch, jnp.float32)
+    return initial * gamma ** jnp.floor(e / step_size)
+
+
+def p2pkld_loss(
+    output_grid: jnp.ndarray,
+    mu: jnp.ndarray,
+    logvar: jnp.ndarray,
+    target: jnp.ndarray,
+    subdivisions: int,
+    factors: LossFactors,
+    kl_factor,
+):
+    """P2P + kl_factor·KLD (reference losses.py:137-142)."""
+    recon, metrics = p2p_loss(output_grid, target, subdivisions, factors)
+    kld = kld_loss(mu, logvar)
+    loss = recon + factors.kl * kl_factor * kld
+    metrics = dict(metrics)
+    metrics["recon"] = recon
+    metrics["kld"] = kld
+    return loss, metrics

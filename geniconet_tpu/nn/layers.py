@@ -1,0 +1,160 @@
+"""Flax modules: icosahedral conv / batchnorm / residual blocks.
+
+Semantics re-specified from the reference architecture (models.py:22-62,
+101-156) but built on this framework's TPU ops: all tensors are chart-split
+``(B, 5, h, w, C)`` NHWC (channels last = TPU lane dimension), parameters are
+the 7 active hex taps (no dead 3×3 corners), compute dtype is configurable
+(bf16 on TPU, fp32 accumulation inside the conv), and BatchNorm supports
+cross-replica axis reduction for data parallelism (``axis_name``) so a DP
+run matches a single-chip large-batch run.
+
+Initialization matches torch Conv2d defaults used by the reference training
+runs: weights and bias ~ U(±1/sqrt(fan_in)) with fan_in = 7·C_in.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from geniconet_tpu.ops.conv import ico_conv_s2s
+from geniconet_tpu.ops.upsample import ico_upsample_s2s
+
+__all__ = ["IcoConvS2S", "IcoBatchNorm", "DownBlock", "UpBlock", "hex_uniform_init"]
+
+
+def hex_uniform_init(fan_in: int) -> Callable:
+    """U(±1/sqrt(fan_in)) — torch Conv2d reset_parameters equivalent
+    (kaiming_uniform with a=sqrt(5) reduces to this bound for both the
+    weight and the bias)."""
+    bound = 1.0 / (fan_in**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return nn.initializers.uniform(scale=2 * bound)(key, shape, dtype) - bound
+
+    return init
+
+
+class IcoConvS2S(nn.Module):
+    """Hexagonal icosahedral conv (reference IcoConvS2S contract).
+
+    Attributes:
+      features: output channels.
+      subdivisions: *input* subdivision level.
+      stride: 1 (same level) or 2 (s -> s-1).
+      corner_mode: pole synthesis for the halo ('average' | 'zeros').
+      dtype: compute dtype (params stay fp32).
+    """
+
+    features: int
+    subdivisions: int
+    stride: int = 1
+    use_bias: bool = True
+    corner_mode: str = "average"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        init = hex_uniform_init(7 * cin)
+        taps = self.param("taps", init, (7, cin, self.features))
+        bias = self.param("bias", init, (self.features,)) if self.use_bias else None
+        y = ico_conv_s2s(
+            x.astype(self.dtype),
+            taps.astype(self.dtype),
+            bias.astype(self.dtype) if bias is not None else None,
+            self.subdivisions,
+            stride=self.stride,
+            corner_mode=self.corner_mode,
+        )
+        return y
+
+
+class IcoBatchNorm(nn.Module):
+    """BatchNorm2d equivalent (torch defaults: eps 1e-5, running momentum 0.1).
+
+    ``axis_name`` enables cross-replica moment reduction under shard_map/pmap
+    so data-parallel training uses global batch statistics.
+    """
+
+    use_running_average: Optional[bool] = None
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        B, n, h, w, C = x.shape
+        flat = x.reshape(B, n * h, w, C)
+        out = nn.BatchNorm(
+            use_running_average=ura,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            axis_name=self.axis_name,
+        )(flat)
+        return out.reshape(B, n, h, w, C)
+
+
+class DownBlock(nn.Module):
+    """Residual down block (reference BasicIcoS2SDownBlock, models.py:22-40).
+
+    branch0 = BN(conv_s1(relu(BN(conv_s2(x))))), branch1 = BN(conv_s2(x)),
+    out = relu(branch0 + branch1). Maps subdivision s -> s-1.
+    """
+
+    features: int
+    in_subdivisions: int
+    use_bias: bool = True
+    corner_mode: str = "average"
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_bias=self.use_bias)
+        bn = dict(use_running_average=not train, axis_name=self.axis_name, dtype=self.dtype)
+        s = self.in_subdivisions
+        b0 = IcoConvS2S(self.features, s, stride=2, name="conv00", **kw)(x)
+        b0 = IcoBatchNorm(name="bn00", **bn)(b0)
+        b0 = nn.relu(b0)
+        b0 = IcoConvS2S(self.features, s - 1, stride=1, name="conv01", **kw)(b0)
+        b0 = IcoBatchNorm(name="bn01", **bn)(b0)
+        b1 = IcoConvS2S(self.features, s, stride=2, name="conv10", **kw)(x)
+        b1 = IcoBatchNorm(name="bn10", **bn)(b1)
+        return nn.relu(b0 + b1)
+
+
+class UpBlock(nn.Module):
+    """Residual up block (reference BasicIcoS2SUpBlock, models.py:42-62).
+
+    The upsample is parameter-free, so the two branches share one upsampled
+    tensor (identical numerics to the reference's two upsample instances).
+    Maps subdivision s -> s+1.
+    """
+
+    features: int
+    in_subdivisions: int
+    use_bias: bool = True
+    corner_mode: str = "average"
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_bias=self.use_bias)
+        bn = dict(use_running_average=not train, axis_name=self.axis_name, dtype=self.dtype)
+        s = self.in_subdivisions
+        up = ico_upsample_s2s(x, s, self.corner_mode)
+        b0 = IcoConvS2S(self.features, s + 1, stride=1, name="conv00", **kw)(up)
+        b0 = IcoBatchNorm(name="bn00", **bn)(b0)
+        b0 = nn.relu(b0)
+        b0 = IcoConvS2S(self.features, s + 1, stride=1, name="conv01", **kw)(b0)
+        b0 = IcoBatchNorm(name="bn01", **bn)(b0)
+        b1 = IcoConvS2S(self.features, s + 1, stride=1, name="conv10", **kw)(up)
+        b1 = IcoBatchNorm(name="bn10", **bn)(b1)
+        return nn.relu(b0 + b1)

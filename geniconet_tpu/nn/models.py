@@ -1,0 +1,197 @@
+"""The GenIcoNet model family: icosahedral autoencoder (IcoAE) and VAE (IcoVAE).
+
+Architecture re-specified from the reference (models.py:101-232 for ico2ico,
+models.py:162-300 for ico2ico_vae; only the trained 'residualS2S' variant is
+built — the 'simple' branches in the reference return None and are dead):
+
+IcoAE (ico2ico):
+  encoder: IcoConvS2S(3→w0, s) + BN + ReLU;
+           Down(w0→w1, s→s-1); Down(w1→w2, s-1→s-2); Down(w2→w2, s-2→s-3)
+  bottleneck: (w2, 5·2^(s-3), 2^(s-2)) — e.g. (256, 20, 8) at s=5
+  decoder: Up(w2→w2); Up(w2→w1); Up(w1→w0); 1×1 conv(w0→3) + tanh
+
+IcoVAE (ico2ico_vae):
+  encoder: IcoConvS2S(3→w0, s) + BN + ReLU; Down(w0→w1); Down(w1→w2)  (stops at s-2)
+  mu / logvar heads: IcoConvS2S(w2→wz, stride 2) + BN  → latent (wz, 5·2^(s-3), 2^(s-2))
+  reparameterize: z = mu + eps·exp(0.5·logvar), explicit PRNG
+  decoder: Up(wz→w2); Up(w2→w1); Up(w1→w0); 1×1 conv(w0→3) + tanh
+
+Defaults (w0, w1, w2, wz) = (64, 128, 256, 512) and s=5 match the reference's
+trained configuration. ``encode``/``decode`` are first-class methods — the
+reference's split ico2enc / enc2ico models + filtered checkpoint loading
+(reference models.py:234-340, run.py:360-367) are served by calling these
+methods on the full model via ``flax``'s ``apply(method=...)``, no weight
+surgery needed.
+
+Public tensor format: grid ``(B, 5·2^s, 2^(s+1), C)`` channels-last; latents
+``(B, 5·2^(s-3), 2^(s-2), wz)``. The VAE forward returns
+``(recon, mu, logvar)`` like the reference (models.py:94-97).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from geniconet_tpu.nn.layers import DownBlock, IcoBatchNorm, IcoConvS2S, UpBlock
+from geniconet_tpu.ops.conv import merge_charts, split_charts
+
+__all__ = ["IcoAE", "IcoVAE", "reparameterize"]
+
+
+def reparameterize(rng: jax.Array, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """z = mu + eps * exp(0.5*logvar), eps ~ N(0,1) (reference models.py:89-92)."""
+    std = jnp.exp(0.5 * logvar)
+    eps = jax.random.normal(rng, std.shape, std.dtype)
+    return eps * std + mu
+
+
+class _Encoder(nn.Module):
+    subdivisions: int
+    widths: tuple[int, ...]  # e.g. (64, 128, 256, 256) AE / (64, 128, 256) VAE
+    corner_mode: str
+    dtype: Any
+    axis_name: Optional[str]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(corner_mode=self.corner_mode, dtype=self.dtype)
+        bn = dict(axis_name=self.axis_name, dtype=self.dtype)
+        s = self.subdivisions
+        x = IcoConvS2S(self.widths[0], s, stride=1, name="conv_in", **kw)(x)
+        x = IcoBatchNorm(use_running_average=not train, name="bn_in", **bn)(x)
+        x = nn.relu(x)
+        for k, width in enumerate(self.widths[1:]):
+            x = DownBlock(
+                width, s - k, axis_name=self.axis_name, name=f"down{k}",
+                corner_mode=self.corner_mode, dtype=self.dtype,
+            )(x, train=train)
+        return x
+
+
+class _Decoder(nn.Module):
+    bottleneck_subdivisions: int
+    widths: tuple[int, ...]  # e.g. (256, 128, 64): outputs of each UpBlock
+    out_features: int
+    corner_mode: str
+    dtype: Any
+    axis_name: Optional[str]
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        s = self.bottleneck_subdivisions
+        x = z
+        for k, width in enumerate(self.widths):
+            x = UpBlock(
+                width, s + k, axis_name=self.axis_name, name=f"up{k}",
+                corner_mode=self.corner_mode, dtype=self.dtype,
+            )(x, train=train)
+        # 1x1 conv head + tanh (reference models.py:151-155); torch-style
+        # U(±1/sqrt(fan_in)) init for kernel and bias
+        bound = 1.0 / (self.widths[-1] ** 0.5)
+
+        def _uinit(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        x = nn.Dense(
+            self.out_features, dtype=self.dtype, name="head",
+            kernel_init=_uinit, bias_init=_uinit,
+        )(x)
+        return jnp.tanh(x.astype(jnp.float32))
+
+
+class IcoAE(nn.Module):
+    """Deterministic icosahedral autoencoder (reference ico2ico)."""
+
+    subdivisions: int = 5
+    widths: tuple[int, int, int] = (64, 128, 256)
+    corner_mode: str = "average"
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        if self.subdivisions < 3:
+            raise ValueError("IcoAE needs subdivisions >= 3 (three stride-2 stages)")
+        w0, w1, w2 = self.widths
+        self.encoder = _Encoder(
+            self.subdivisions, (w0, w1, w2, w2), self.corner_mode, self.dtype, self.axis_name
+        )
+        self.decoder = _Decoder(
+            self.subdivisions - 3, (w2, w1, w0), 3, self.corner_mode, self.dtype, self.axis_name
+        )
+
+    def encode(self, x, train: bool = False):
+        """grid (B, 5·2^s, 2^(s+1), 3) -> latent (B, 5·2^(s-3), 2^(s-2), w2)."""
+        xc = split_charts(x, self.subdivisions)
+        z = self.encoder(xc, train=train)
+        return merge_charts(z)
+
+    def decode(self, z, train: bool = False):
+        zc = split_charts(z, self.subdivisions - 3)
+        y = self.decoder(zc, train=train)
+        return merge_charts(y)
+
+    def __call__(self, x, train: bool = False):
+        return self.decode(self.encode(x, train=train), train=train)
+
+
+class IcoVAE(nn.Module):
+    """Icosahedral VAE (reference ico2ico_vae)."""
+
+    subdivisions: int = 5
+    widths: tuple[int, int, int] = (64, 128, 256)
+    latent_features: int = 512
+    corner_mode: str = "average"
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        if self.subdivisions < 3:
+            raise ValueError("IcoVAE needs subdivisions >= 3 (three stride-2 stages)")
+        w0, w1, w2 = self.widths
+        self.encoder = _Encoder(
+            self.subdivisions, (w0, w1, w2), self.corner_mode, self.dtype, self.axis_name
+        )
+        conv_kw = dict(corner_mode=self.corner_mode, dtype=self.dtype)
+        bn_kw = dict(axis_name=self.axis_name, dtype=self.dtype)
+        # mu / logvar heads: stride-2 conv + BN (reference models.py:268-286)
+        self.mu_conv = IcoConvS2S(
+            self.latent_features, self.subdivisions - 2, stride=2, name="mu_conv", **conv_kw
+        )
+        self.mu_bn = IcoBatchNorm(name="mu_bn", **bn_kw)
+        self.logvar_conv = IcoConvS2S(
+            self.latent_features, self.subdivisions - 2, stride=2, name="logvar_conv", **conv_kw
+        )
+        self.logvar_bn = IcoBatchNorm(name="logvar_bn", **bn_kw)
+        self.decoder = _Decoder(
+            self.subdivisions - 3,
+            (w2, w1, w0),
+            3,
+            self.corner_mode,
+            self.dtype,
+            self.axis_name,
+        )
+
+    def encode(self, x, train: bool = False):
+        """grid -> (mu, logvar), each (B, 5·2^(s-3), 2^(s-2), latent_features)."""
+        xc = split_charts(x, self.subdivisions)
+        feat = self.encoder(xc, train=train)
+        mu = self.mu_bn(self.mu_conv(feat), use_running_average=not train)
+        logvar = self.logvar_bn(self.logvar_conv(feat), use_running_average=not train)
+        return merge_charts(mu), merge_charts(logvar)
+
+    def decode(self, z, train: bool = False):
+        zc = split_charts(z, self.subdivisions - 3)
+        y = self.decoder(zc, train=train)
+        return merge_charts(y)
+
+    def __call__(self, x, train: bool = False, sample: bool = True):
+        mu, logvar = self.encode(x, train=train)
+        if sample:
+            z = reparameterize(self.make_rng("reparam"), mu, logvar)
+        else:
+            z = mu
+        return self.decode(z, train=train), mu, logvar
