@@ -1,0 +1,120 @@
+"""Experiment CLI — the run.py equivalent.
+
+Usage (mirrors reference README.md:65-94):
+
+    python -m geniconet_tpu.cli --model ico2ico     --process train --dataDir <npz root>
+    python -m geniconet_tpu.cli --model ico2ico_vae --process train --dataDir <npz root>
+    python -m geniconet_tpu.cli --model ico2ico     --process test  --dataDir <npz root>
+
+Extras over the reference: ``--synthetic N`` trains on generated meshes (no
+dataset needed), ``--compute_dtype bfloat16`` enables the TPU fast path, and
+data parallelism over all local chips is on by default (disable with
+``--no_data_parallel``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from geniconet_tpu.data.datasets import IcoDataset, synthetic_dataset
+from geniconet_tpu.data.pipeline import Batches
+from geniconet_tpu.parallel import mesh as mesh_lib
+from geniconet_tpu.train import checkpoint as ckpt
+from geniconet_tpu.train.config import Config, parse_args
+from geniconet_tpu.train.logging import Logger
+from geniconet_tpu.train.trainer import Trainer
+
+
+def load_datasets(cfg: Config):
+    s = cfg.model.subdivisions
+    if cfg.data.synthetic:
+        n = cfg.data.synthetic
+        trn = synthetic_dataset(s, n, seed=cfg.data.synthetic_seed)
+        val = synthetic_dataset(s, max(1, n // 5), seed=cfg.data.synthetic_seed + 1)
+        return trn, val
+    if not cfg.data.data_dir:
+        raise SystemExit("need --dataDir or --synthetic N")
+    trn = IcoDataset.from_directory(
+        cfg.data.data_dir, s, cfg.data.layout_level, "trn",
+        cfg.data.ext, cfg.train.quick_learn,
+    )
+    val = IcoDataset.from_directory(
+        cfg.data.data_dir, s, cfg.data.layout_level, "val",
+        cfg.data.ext, cfg.train.quick_learn,
+    )
+    return trn, val
+
+
+def experiment_train(cfg: Config):
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    trn_ds, val_ds = load_datasets(cfg)
+    if cfg.train.quick_learn:
+        trn_ds = val_ds  # smoke-test mode (reference run.py:416-421)
+
+    mesh = mesh_lib.make_mesh() if cfg.train.data_parallel else None
+    sharding = mesh_lib.data_sharding(mesh) if mesh is not None else None
+    print(f"[train] devices: {jax.devices()}  mesh: {mesh}")
+
+    log_dir = cfg.model_log_dir()
+    logger = Logger(log_dir)
+    cfg.save(os.path.join(log_dir, "config.json"))
+    logger.text("config", cfg.to_json())
+
+    trainer = Trainer(cfg, mesh=mesh, logger=logger)
+    state = trainer.init_state(trn_ds.inputs[:1], seed=cfg.train.seed)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    print(f"[train] optimizable parameters: {n_params}")
+
+    start_epoch = 0
+    if cfg.train.load_pretrained_model:
+        ckpt_dir = os.path.join(log_dir, "savedModel")
+        ep = cfg.train.load_epoch
+        if ep == 0:
+            ep = ckpt.latest_best_epoch(ckpt_dir, cfg.model.name)
+            path = ckpt.checkpoint_path(ckpt_dir, cfg.model.name, ep, best=True) if ep else None
+        else:
+            path = ckpt.checkpoint_path(ckpt_dir, cfg.model.name, ep, best=False)
+            if not os.path.exists(path):
+                path = ckpt.checkpoint_path(ckpt_dir, cfg.model.name, ep, best=True)
+        if path and os.path.exists(path):
+            state, start_epoch = trainer.restore(state, path)
+            print(f"[train] resumed from {path} (epoch {start_epoch})")
+        else:
+            print("[train] no checkpoint found to resume; starting fresh")
+
+    trn = Batches(trn_ds, cfg.train.batch_size, shuffle=True, sharding=sharding,
+                  seed=cfg.train.seed)
+    val = Batches(val_ds, cfg.train.batch_size, shuffle=False, sharding=sharding)
+    state, history = trainer.fit(state, trn, val, start_epoch)
+    logger.close()
+    return history
+
+
+def experiment_test(cfg: Config):
+    from geniconet_tpu.eval.test_driver import run_test
+
+    s = cfg.model.subdivisions
+    if cfg.data.synthetic:
+        ds = synthetic_dataset(s, cfg.data.synthetic, seed=cfg.data.synthetic_seed + 1)
+    else:
+        ds = IcoDataset.from_directory(
+            cfg.data.data_dir, s, cfg.data.layout_level, "val",
+            cfg.data.ext, cfg.train.quick_learn,
+        )
+    return run_test(cfg, ds)
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    if cfg.process == "train":
+        experiment_train(cfg)
+    else:
+        experiment_test(cfg)
+
+
+if __name__ == "__main__":
+    main()

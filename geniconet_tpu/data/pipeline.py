@@ -1,0 +1,130 @@
+"""Host input pipeline: shuffled batches, device placement, DP sharding.
+
+Replaces the reference's torch DataLoader (run.py:52, worker processes) with
+a TPU-idiomatic host loop: the packed dataset lives in host RAM, each batch is a
+zero-copy numpy slice that gets `device_put` with a `NamedSharding` so each
+chip receives only its shard of the batch; a one-deep prefetch overlaps the
+host->HBM transfer of batch k+1 with the device compute of batch k.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from geniconet_tpu.data.datasets import IcoDataset
+
+__all__ = ["Batches", "make_data_sharding", "pad_to_multiple"]
+
+
+def make_data_sharding(mesh: Optional[Mesh]):
+    """Batch-axis sharding over the mesh's 'data' axis (None = single device)."""
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P("data"))
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class Batches:
+    """Iterable over (inputs, targets) device batches.
+
+    Args:
+      dataset: packed IcoDataset.
+      batch_size: *global* batch size.
+      shuffle: reshuffle each epoch (train) or iterate in order (eval).
+      drop_remainder: drop the ragged tail (train default False like torch
+        DataLoader; the tail batch triggers one extra jit specialization that
+        is then cached).
+      sharding: optional NamedSharding for DP placement. When set, ragged
+        tails are padded up to a divisor of the device count and a weight
+        vector marks real samples.
+      seed: shuffle seed.
+    """
+
+    def __init__(
+        self,
+        dataset: IcoDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_remainder: Optional[bool] = None,
+        sharding=None,
+        seed: int = 0,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.sharding = sharding
+        if sharding is not None and batch_size % self.n_devices != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must be divisible by the "
+                f"{self.n_devices} devices of the data mesh (per-device batch "
+                f"must be uniform); pick e.g. {pad_to_multiple(batch_size, self.n_devices)}"
+            )
+        if drop_remainder is None:
+            # sharded training drops the ragged tail (zero-padding it would
+            # pollute BatchNorm batch statistics); unsharded keeps it like a
+            # torch DataLoader. Eval loaders pass drop_remainder=False and
+            # get zero-weight padding (BN stats are frozen there).
+            drop_remainder = shuffle and sharding is not None
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.RandomState(seed)
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.ds)
+        if self.drop_remainder and n >= self.batch_size:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def n_devices(self) -> int:
+        if self.sharding is None:
+            return 1
+        return self.sharding.mesh.devices.size
+
+    def _place(self, arr: np.ndarray):
+        if self.sharding is None:
+            return jax.device_put(arr)
+        return jax.device_put(arr, self.sharding)
+
+    def epoch(self) -> Iterator[tuple]:
+        """Yield (inputs, targets, weights) for one epoch.
+
+        weights is (B,) float32 — 1.0 for real samples, 0.0 for padding
+        (padding only appears in the tail batch under sharding).
+        """
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        nb = len(self)
+
+        def make(i):
+            idx = order[i * bs : (i + 1) * bs]
+            x = self.ds.inputs[idx]
+            y = self.ds.targets[idx]
+            wt = np.ones(len(idx), np.float32)
+            if len(idx) < bs and self.sharding is not None:
+                # zero-weight-pad a ragged batch so it divides the device count
+                target = pad_to_multiple(len(idx), self.n_devices)
+                pad = target - len(idx)
+                if pad:
+                    x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+                    y = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)])
+                    wt = np.concatenate([wt, np.zeros(pad, np.float32)])
+            return self._place(x), self._place(y), self._place(wt)
+
+        # one-deep prefetch
+        nxt = make(0) if nb else None
+        for i in range(nb):
+            cur = nxt
+            nxt = make(i + 1) if i + 1 < nb else None
+            yield cur

@@ -49,17 +49,29 @@ class LossFactors:
         return LossFactors(0.6, 0.2, 0.2, 1.0)
 
 
+def _wmean(per_sample: jnp.ndarray, weights):
+    """Weighted mean over the batch axis (weights=None -> plain mean)."""
+    if weights is None:
+        return jnp.mean(per_sample)
+    w = weights.astype(jnp.float32)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def p2p_loss(
     output_grid: jnp.ndarray,
     target: jnp.ndarray,
     subdivisions: int,
     factors: LossFactors,
+    weights: jnp.ndarray | None = None,
 ):
     """P2P loss on a grid prediction vs a (B, V, 9) target.
 
     Args:
       output_grid: (B, 5·2^s, 2^(s+1), 3) network output.
       target: (B, V, 9) = [pos | normals | laplacian] per vertex.
+      weights: optional (B,) sample weights (0 marks DP tail padding);
+        reductions are per-sample means then a weighted batch mean, which
+        equals the reference's global mean when all weights are 1.
 
     Returns:
       (loss, metrics dict with 'mse', 'cos', 'lap' component values).
@@ -68,20 +80,20 @@ def p2p_loss(
     t = target.astype(jnp.float32)
     t_pos = t[..., 0:3]
 
-    l_pos = jnp.mean((v - t_pos) ** 2)
+    l_pos = _wmean(jnp.mean((v - t_pos) ** 2, axis=(1, 2)), weights)
     loss = factors.pos * l_pos
     metrics = {"mse": l_pos}
 
     if factors.nor != 0.0:
+        from geniconet_tpu.ops.mesh_math import safe_norm
+
         t_nor = t[..., 3:6]
         n = vertex_normals(v, subdivisions)
-        # torch CosineSimilarity(dim=2) semantics: eps-clamped norms
-        eps = 1e-8
-        denom = jnp.maximum(
-            jnp.linalg.norm(n, axis=-1) * jnp.linalg.norm(t_nor, axis=-1), eps
-        )
+        # torch CosineSimilarity(dim=2) semantics (eps-clamped norms), with
+        # NaN-free gradients at degenerate normals
+        denom = safe_norm(n, keepdims=False) * safe_norm(t_nor, keepdims=False)
         cos = jnp.sum(n * t_nor, axis=-1) / denom
-        l_nor = jnp.mean(1.0 - cos)
+        l_nor = _wmean(jnp.mean(1.0 - cos, axis=1), weights)
         loss = loss + factors.nor * l_nor
         metrics["cos"] = l_nor
     else:
@@ -90,7 +102,7 @@ def p2p_loss(
     if factors.lap != 0.0:
         t_lap = t[..., 6:9]
         lap = laplacian(v, subdivisions)
-        l_lap = jnp.mean((lap - t_lap) ** 2)
+        l_lap = _wmean(jnp.mean((lap - t_lap) ** 2, axis=(1, 2)), weights)
         loss = loss + factors.lap * l_lap
         metrics["lap"] = l_lap
     else:
@@ -99,12 +111,12 @@ def p2p_loss(
     return loss, metrics
 
 
-def kld_loss(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+def kld_loss(mu: jnp.ndarray, logvar: jnp.ndarray, weights=None) -> jnp.ndarray:
     """mean_B(−0.5·mean_dims(1 + logvar − mu² − exp(logvar))) (losses.py:105)."""
     mu = mu.astype(jnp.float32).reshape(mu.shape[0], -1)
     logvar = logvar.astype(jnp.float32).reshape(logvar.shape[0], -1)
     per_sample = -0.5 * jnp.mean(1.0 + logvar - mu**2 - jnp.exp(logvar), axis=1)
-    return jnp.mean(per_sample)
+    return _wmean(per_sample, weights)
 
 
 def kl_factor_at_epoch(
@@ -129,10 +141,11 @@ def p2pkld_loss(
     subdivisions: int,
     factors: LossFactors,
     kl_factor,
+    weights=None,
 ):
     """P2P + kl_factor·KLD (reference losses.py:137-142)."""
-    recon, metrics = p2p_loss(output_grid, target, subdivisions, factors)
-    kld = kld_loss(mu, logvar)
+    recon, metrics = p2p_loss(output_grid, target, subdivisions, factors, weights)
+    kld = kld_loss(mu, logvar, weights)
     loss = recon + factors.kl * kl_factor * kld
     metrics = dict(metrics)
     metrics["recon"] = recon

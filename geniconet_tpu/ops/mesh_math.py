@@ -36,6 +36,18 @@ __all__ = [
 _EPS = 1e-10
 
 
+def safe_norm(x: jnp.ndarray, axis=-1, keepdims=True, eps: float = _EPS) -> jnp.ndarray:
+    """eps-floored L2 norm with a NaN-free gradient at zero vectors.
+
+    ``maximum(linalg.norm(x), eps)`` is NOT safe: the norm's gradient at 0 is
+    NaN and ``0 * NaN = NaN`` propagates through the clamp. Clamping the
+    squared sum *inside* the sqrt keeps the whole backward path finite —
+    degenerate (zero-area) faces do occur in early training.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(sq, eps * eps))
+
+
 def face_normals(v: jnp.ndarray, faces: jnp.ndarray, *, normalize: bool = False) -> jnp.ndarray:
     """(B, V, 3), (F, 3) -> (B, F, 3) (area-weighted unless normalize=True)."""
     p0 = jnp.take(v, faces[:, 0], axis=1)
@@ -43,8 +55,7 @@ def face_normals(v: jnp.ndarray, faces: jnp.ndarray, *, normalize: bool = False)
     p2 = jnp.take(v, faces[:, 2], axis=1)
     n = jnp.cross(p1 - p0, p2 - p0)
     if normalize:
-        mag = jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), _EPS)
-        n = n / mag
+        n = n / safe_norm(n)
     return n
 
 
@@ -60,8 +71,7 @@ def vertex_normals(v: jnp.ndarray, subdivisions: int) -> jnp.ndarray:
     gathered = jnp.take(fn, jnp.asarray(fidx), axis=1)         # (B, V, 6, 3)
     gathered = gathered * jnp.asarray(fmask, jnp.float32)[None, :, :, None]
     vn = jnp.sum(gathered, axis=2)                             # (B, V, 3)
-    mag = jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), _EPS)
-    return vn / mag
+    return vn / safe_norm(vn)
 
 
 def laplacian(v: jnp.ndarray, subdivisions: int) -> jnp.ndarray:

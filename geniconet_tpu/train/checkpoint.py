@@ -1,0 +1,131 @@
+"""Checkpointing: save/restore with best-model naming, GC and partial loads.
+
+Behavioral contract of reference run.py:317-409:
+
+* files carry ``{params, batch_stats, opt_state, step, epoch, loss, misc}``
+  (torch kept ``{model_state_dict, optimizer_state_dict, epoch, loss, misc}``;
+  ``step`` replaces torch scheduler state — the cyclic LR is a pure function
+  of it, and ``misc`` carries the last batch's (mu, logvar) for VAE sampling,
+  run.py:274-277).
+* best checkpoints are named ``<model>_EB<epoch>.ckpt`` and only the last
+  5 (+1 protected oldest) are kept (run.py:317-328).
+* periodic checkpoints are ``<model>_E<epoch>.ckpt``.
+* ``load_epoch=0`` auto-picks the newest ``EB*`` checkpoint (run.py:343-349).
+* `restore_filtered` loads the intersection of stored and target trees —
+  the capability behind the reference's split-model loading (run.py:360-367).
+
+Serialization is flax msgpack — framework-native, no torch dependency.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import flax.serialization
+import jax
+import numpy as np
+
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_best_epoch",
+    "checkpoint_path",
+    "gc_best_checkpoints",
+    "restore_filtered",
+]
+
+_EB_RE = re.compile(r"_EB(\d+)\.ckpt$")
+
+
+def checkpoint_path(ckpt_dir: str, model_name: str, epoch: int, best: bool) -> str:
+    tag = "EB" if best else "E"
+    return os.path.join(ckpt_dir, f"{model_name}_{tag}{epoch}.ckpt")
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state: dict):
+    """state: dict with params/batch_stats/opt_state/step/epoch/loss/misc."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # to_state_dict turns tuple pytrees (optax states) into nested dicts
+    blob = flax.serialization.msgpack_serialize(
+        flax.serialization.to_state_dict(_to_host(state))
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        return flax.serialization.msgpack_restore(f.read())
+
+
+def latest_best_epoch(ckpt_dir: str, model_name: str):
+    """Newest EB epoch number or None (reference run.py:343-349 semantics)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = []
+    for f in os.listdir(ckpt_dir):
+        if f.startswith(model_name + "_"):
+            m = _EB_RE.search(f)
+            if m:
+                best.append(int(m.group(1)))
+    return max(best) if best else None
+
+
+def gc_best_checkpoints(ckpt_dir: str, model_name: str, keep: int = 5):
+    """Keep the newest `keep` EB checkpoints plus the oldest one
+    (reference run.py:317-328 keeps last 5 + 1)."""
+    if not os.path.isdir(ckpt_dir):
+        return
+    epochs = []
+    for f in os.listdir(ckpt_dir):
+        if f.startswith(model_name + "_"):
+            m = _EB_RE.search(f)
+            if m:
+                epochs.append(int(m.group(1)))
+    epochs.sort()
+    if len(epochs) <= keep + 1:
+        return
+    protected = {epochs[0], *epochs[-keep:]}
+    for e in epochs:
+        if e not in protected:
+            try:
+                os.remove(checkpoint_path(ckpt_dir, model_name, e, best=True))
+            except OSError:
+                pass
+
+
+def restore_filtered(target_tree, stored_tree):
+    """Copy stored leaves into target where paths+shapes match; count hits.
+
+    Returns (merged_tree, n_matched, n_target_leaves). Mirrors the
+    reference's filtered state-dict load (run.py:360-367) which enables
+    loading encoder/decoder halves from a full-model checkpoint.
+    """
+    matched = 0
+
+    def merge(path, tgt):
+        nonlocal matched
+        node = stored_tree
+        for k in path:
+            key = getattr(k, "key", getattr(k, "idx", None))
+            if isinstance(node, dict) and str(key) in node:
+                node = node[str(key)]
+            elif isinstance(node, dict) and key in node:
+                node = node[key]
+            else:
+                return tgt
+        if hasattr(node, "shape") and tuple(node.shape) == tuple(tgt.shape):
+            matched += 1
+            return np.asarray(node).astype(tgt.dtype) if hasattr(tgt, "dtype") else node
+        return tgt
+
+    merged = jax.tree_util.tree_map_with_path(merge, target_tree)
+    n_leaves = len(jax.tree.leaves(target_tree))
+    return merged, matched, n_leaves

@@ -1,0 +1,172 @@
+"""Typed configuration tree + CLI.
+
+Replaces the reference's nested ``params`` dict assembled in ``run.py:616-716``
+(and kills the anti-pattern where the app re-creates config by text-scraping
+run.py, reference app.py:1517-1538): one importable, serializable dataclass
+tree with per-model presets and an argparse front-end exposing the same knobs
+as reference ``run.py:538-587``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+__all__ = ["ModelConfig", "OptimConfig", "DataConfig", "TrainConfig", "Config", "parse_args"]
+
+
+@dataclass
+class ModelConfig:
+    name: str = "ico2ico"  # 'ico2ico' (AE) | 'ico2ico_vae' (VAE)
+    subdivisions: int = 5
+    widths: tuple = (64, 128, 256)
+    latent_features: int = 512  # VAE only
+    corner_mode: str = "average"
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+
+    @property
+    def is_vae(self) -> bool:
+        return self.name.endswith("_vae")
+
+
+@dataclass
+class OptimConfig:
+    # reference run.py:632-671: Adam + per-batch CyclicLR(triangular)
+    lr: float = 1e-6
+    lr_base: float = 1e-9
+    lr_max: float = 1e-3
+    step_size_up: int = 2000  # torch CyclicLR defaults
+    step_size_down: int = 2000
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+
+@dataclass
+class DataConfig:
+    data_dir: str = ""
+    layout_level: int = 2  # 1 = flat (SHREC), 2 = class/{train,test} (ModelNet)
+    ext: str = ".npz"
+    synthetic: int = 0  # >0: use a synthetic dataset of this size (no files)
+    synthetic_seed: int = 0
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 12
+    train_epoch: int = 600
+    save_epoch_freq: int = 100
+    log_freq: int = 10
+    log_mesh_epoch: int = 50
+    quick_learn: int = 0
+    seed: int = 0
+    load_pretrained_model: bool = False
+    load_epoch: int = 0
+    # VAE loss factor schedule (reference run.py:651-654)
+    factor_step_size: int = 25
+    factor_gamma: float = 0.9
+    debug_nans: bool = False
+    data_parallel: bool = True  # shard batch over all local devices
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    log_dir: str = "log"
+    process: str = "train"  # 'train' | 'test'
+    test_epoch: str = "0"   # 0 = latest best, 'B<ep>' or int for specific
+    test_mode: str = "point2mesh"
+    out_dir: str = ""
+
+    @property
+    def loss_factors(self):
+        from geniconet_tpu.losses.p2p import LossFactors
+
+        # reference run.py:689-696
+        return LossFactors.vae() if self.model.is_vae else LossFactors.ae()
+
+    def model_log_dir(self) -> str:
+        sub = "vae" if self.model.is_vae else "ae"
+        return os.path.join(self.log_dir, sub)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+
+def apply_model_presets(cfg: Config):
+    """Per-model hyperparameter blocks (reference run.py:632-671)."""
+    if cfg.model.is_vae:
+        cfg.train.save_epoch_freq = 50
+        cfg.train.log_freq = 20
+        cfg.train.log_mesh_epoch = 25
+    else:
+        cfg.train.save_epoch_freq = 100
+        cfg.train.log_freq = 10
+        cfg.train.log_mesh_epoch = 50
+    return cfg
+
+
+def parse_args(argv=None) -> Config:
+    """CLI mirroring reference run.py:538-587."""
+    p = argparse.ArgumentParser(description="GenIcoNet-TPU experiment runner")
+    p.add_argument("--model", choices=["ico2ico", "ico2ico_vae"], required=True)
+    p.add_argument("--process", choices=["train", "test"], required=True)
+    p.add_argument("--dataDir", type=str, default="")
+    p.add_argument("--logDir", type=str, default="log")
+    p.add_argument("--outDir", type=str, default="")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--train_epoch", type=int, default=None)
+    p.add_argument("--test_epoch", type=str, default=None)
+    p.add_argument("--load_epoch", type=int, default=None)
+    p.add_argument("--load_pretrained_model", action="store_true")
+    p.add_argument("--subdivision", type=int, default=5)
+    p.add_argument("--dataPthLvl", type=int, default=2)
+    p.add_argument("--quickLearn", type=int, default=0)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use N synthetic meshes instead of --dataDir")
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"], default=None)
+    p.add_argument("--no_data_parallel", action="store_true")
+    p.add_argument("--debug_nans", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(argv)
+
+    cfg = Config()
+    cfg.model.name = a.model
+    cfg.model.subdivisions = a.subdivision
+    cfg.process = a.process
+    cfg.log_dir = a.logDir
+    cfg.out_dir = a.outDir  # empty -> defaults to <model_log_dir>/data at use site
+    cfg.data.data_dir = a.dataDir
+    cfg.data.layout_level = a.dataPthLvl
+    cfg.data.synthetic = a.synthetic
+    apply_model_presets(cfg)
+    if a.batch_size is not None:
+        cfg.train.batch_size = a.batch_size
+    if a.train_epoch is not None:
+        cfg.train.train_epoch = a.train_epoch
+    if a.test_epoch is not None:
+        cfg.test_epoch = a.test_epoch
+    if a.load_epoch is not None:
+        cfg.train.load_epoch = a.load_epoch
+        cfg.train.load_pretrained_model = True
+    if a.load_pretrained_model:
+        cfg.train.load_pretrained_model = True
+    cfg.train.quick_learn = a.quickLearn
+    cfg.train.seed = a.seed
+    cfg.train.debug_nans = a.debug_nans
+    cfg.train.data_parallel = not a.no_data_parallel
+    if a.compute_dtype:
+        cfg.model.compute_dtype = a.compute_dtype
+    return cfg

@@ -1,0 +1,310 @@
+"""Training runtime: jitted fused train step, epoch loop, validation, resume.
+
+The whole per-batch pipeline of the reference (run.py:233-278: forward →
+pole reconstruction → normals/Laplacian → loss → backward → Adam → per-batch
+CyclicLR) is fused into ONE jitted XLA program, executed under GSPMD data
+parallelism (batch sharded over the mesh's 'data' axis, params replicated,
+gradient all-reduce over ICI inserted by XLA). The LR schedule is a pure
+function of the step counter, so resume needs no scheduler state.
+
+Epoch-level behavior mirrors reference run.py:412-497: log_mesh → train →
+validate → saveBestModel (EB naming + GC) → periodic saveModel → KL factor
+decay, with `debug_nans` replacing torch.autograd.detect_anomaly()
+(run.py:237) as the opt-in NaN sanitizer and an always-on cheap in-graph
+finite check on the loss.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from geniconet_tpu.data.pipeline import Batches
+from geniconet_tpu.losses.p2p import kl_factor_at_epoch, p2p_loss, p2pkld_loss
+from geniconet_tpu.nn.models import IcoAE, IcoVAE, reparameterize
+from geniconet_tpu.parallel import mesh as mesh_lib
+from geniconet_tpu.train import checkpoint as ckpt
+from geniconet_tpu.train.config import Config
+from geniconet_tpu.train.schedule import cyclic_triangular
+
+__all__ = ["TrainState", "Trainer", "build_model"]
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray   # int32 global step (drives the cyclic LR)
+    rng: jax.Array      # PRNG key folded per step for VAE sampling
+
+
+def build_model(cfg: Config):
+    m = cfg.model
+    dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
+    if m.is_vae:
+        return IcoVAE(
+            subdivisions=m.subdivisions,
+            widths=tuple(m.widths),
+            latent_features=m.latent_features,
+            corner_mode=m.corner_mode,
+            dtype=dtype,
+        )
+    return IcoAE(
+        subdivisions=m.subdivisions,
+        widths=tuple(m.widths),
+        corner_mode=m.corner_mode,
+        dtype=dtype,
+    )
+
+
+class Trainer:
+    """Owns model, optimizer, jitted steps and the epoch loop."""
+
+    def __init__(self, cfg: Config, mesh=None, logger=None):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.mesh = mesh
+        self.logger = logger
+        o = cfg.optim
+        self.lr_fn = partial(
+            cyclic_triangular,
+            base_lr=o.lr_base,
+            max_lr=o.lr_max,
+            step_size_up=o.step_size_up,
+            step_size_down=o.step_size_down,
+        )
+        self.tx = optax.adam(
+            learning_rate=lambda step: self.lr_fn(step), b1=o.b1, b2=o.b2, eps=o.eps
+        )
+        self.s = cfg.model.subdivisions
+        self.factors = cfg.loss_factors
+        self.is_vae = cfg.model.is_vae
+        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._jit_eval_step = jax.jit(self._eval_step)
+        self.last_misc = None  # VAE: last batch's (mu, logvar), run.py:274-277
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+
+    def init_state(self, sample_input: np.ndarray, seed: int = 0) -> TrainState:
+        rngs = {"params": jax.random.key(seed)}
+        if self.is_vae:
+            rngs["reparam"] = jax.random.key(seed + 1)
+        variables = self.model.init(rngs, jnp.asarray(sample_input[:1]), train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.key(seed + 2),
+        )
+        return mesh_lib.replicate(state, self.mesh)
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+
+    def _loss(self, params, batch_stats, rng, x, y, wt, epoch, train: bool):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if self.is_vae:
+            apply = partial(
+                self.model.apply, rngs={"reparam": rng}, train=train, sample=True
+            )
+            if train:
+                (recon, mu, logvar), upd = apply(variables, x, mutable=["batch_stats"])
+            else:
+                recon, mu, logvar = apply(variables, x)
+                upd = {"batch_stats": batch_stats}
+            kf = kl_factor_at_epoch(
+                epoch,
+                step_size=self.cfg.train.factor_step_size,
+                gamma=self.cfg.train.factor_gamma,
+            )
+            loss, metrics = p2pkld_loss(
+                recon, mu, logvar, y, self.s, self.factors, kf, wt
+            )
+            aux = (upd["batch_stats"], metrics, (mu, logvar))
+        else:
+            if train:
+                out, upd = self.model.apply(variables, x, train=True, mutable=["batch_stats"])
+            else:
+                out = self.model.apply(variables, x, train=False)
+                upd = {"batch_stats": batch_stats}
+            loss, metrics = p2p_loss(out, y, self.s, self.factors, wt)
+            aux = (upd["batch_stats"], metrics, None)
+        metrics["total"] = loss
+        return loss, aux
+
+    def _train_step(self, state: TrainState, x, y, wt, epoch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        (loss, (new_bstats, metrics, misc)), grads = jax.value_and_grad(
+            self._loss, has_aux=True
+        )(state.params, state.batch_stats, rng, x, y, wt, epoch, True)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["lr"] = self.lr_fn(state.step)
+        metrics["finite"] = jnp.isfinite(loss)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bstats,
+            opt_state=new_opt,
+            step=state.step + 1,
+            rng=state.rng,
+        )
+        return new_state, metrics, misc
+
+    def _eval_step(self, state: TrainState, x, y, wt, epoch):
+        rng = jax.random.fold_in(state.rng, 0x7FFFFFFF)
+        loss, (_, metrics, _) = self._loss(
+            state.params, state.batch_stats, rng, x, y, wt, epoch, False
+        )
+        return metrics
+
+    # ------------------------------------------------------------------
+    # epoch loops
+    # ------------------------------------------------------------------
+
+    def train_epoch(self, state: TrainState, batches: Batches, epoch: int):
+        t0 = time.perf_counter()
+        n = 0
+        log_freq = max(1, self.cfg.train.log_freq)
+        last_metrics = None
+        for i, (x, y, wt) in enumerate(batches.epoch()):
+            state, metrics, misc = self._jit_train_step(state, x, y, wt, epoch)
+            n += 1
+            if self.is_vae and misc is not None:
+                self.last_misc = misc
+            if self.logger is not None and i % log_freq == 0:
+                host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                last_metrics = host
+                if not host.get("finite", 1.0):
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {epoch} iter {i}: {host}"
+                    )
+                gstep = int(jax.device_get(state.step))
+                self.logger.scalars("trn", host, gstep)
+        dt = time.perf_counter() - t0
+        return state, {"iters": n, "seconds": dt, "last": last_metrics}
+
+    def validate(self, state: TrainState, batches: Batches, epoch: int):
+        total, count = None, 0
+        for x, y, wt in batches.epoch():
+            metrics = self._jit_eval_step(state, x, y, wt, epoch)
+            b = int(np.sum(np.asarray(jax.device_get(wt))))
+            host = jax.device_get(metrics)
+            host = {k: float(v) * b for k, v in host.items()}
+            total = host if total is None else {k: total[k] + host[k] for k in host}
+            count += b
+        avg = {k: v / max(count, 1) for k, v in (total or {}).items()}
+        if self.logger is not None and avg:
+            self.logger.scalars("val", avg, int(jax.device_get(state.step)))
+        return avg
+
+    # ------------------------------------------------------------------
+    # full experiment (reference experiment_train, run.py:412-497)
+    # ------------------------------------------------------------------
+
+    def fit(self, state: TrainState, trn: Batches, val: Batches, start_epoch: int = 0):
+        cfg = self.cfg
+        name = cfg.model.name
+        ckpt_dir = os.path.join(cfg.model_log_dir(), "savedModel")
+        best_loss = np.inf
+        history = []
+        for epoch in range(start_epoch, cfg.train.train_epoch):
+            if (
+                self.logger is not None
+                and cfg.train.log_mesh_epoch
+                and epoch % cfg.train.log_mesh_epoch == 0
+            ):
+                self._log_meshes(state, val, epoch)
+            state, info = self.train_epoch(state, trn, epoch)
+            avg = self.validate(state, val, epoch + 1)
+            cur = avg.get("total", np.inf)
+            history.append(cur)
+            if cur < best_loss:
+                best_loss = cur
+                self._save(state, ckpt_dir, name, epoch + 1, cur, best=True)
+                ckpt.gc_best_checkpoints(ckpt_dir, name)
+            if (epoch + 1) % cfg.train.save_epoch_freq == 0:
+                self._save(state, ckpt_dir, name, epoch + 1, cur, best=False)
+        if cfg.train.train_epoch > start_epoch:
+            self._save(
+                state, ckpt_dir, name, cfg.train.train_epoch,
+                history[-1] if history else np.inf, best=False,
+            )
+        return state, history
+
+    def _save(self, state, ckpt_dir, name, epoch, loss, best):
+        misc = None
+        if self.last_misc is not None:
+            mu, logvar = jax.device_get(self.last_misc)
+            misc = {"trn_mean": np.asarray(mu), "trn_logvar": np.asarray(logvar)}
+        blob = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": int(jax.device_get(state.step)),
+            "epoch": epoch,
+            "loss": float(loss),
+        }
+        if misc is not None:
+            blob["misc"] = misc
+        ckpt.save_checkpoint(ckpt.checkpoint_path(ckpt_dir, name, epoch, best), blob)
+
+    def restore(self, state: TrainState, path: str):
+        """Restore a checkpoint into a fresh state; returns (state, epoch)."""
+        blob = ckpt.load_checkpoint(path)
+        params = flax.serialization.from_state_dict(
+            jax.device_get(state.params), blob["params"]
+        )
+        bstats = flax.serialization.from_state_dict(
+            jax.device_get(state.batch_stats), blob["batch_stats"]
+        )
+        opt_state = flax.serialization.from_state_dict(
+            jax.device_get(state.opt_state), blob["opt_state"]
+        )
+        new = TrainState(
+            params=params,
+            batch_stats=bstats,
+            opt_state=opt_state,
+            step=jnp.asarray(blob["step"], jnp.int32),
+            rng=state.rng,
+        )
+        return mesh_lib.replicate(new, self.mesh), int(blob["epoch"])
+
+    # ------------------------------------------------------------------
+
+    def _log_meshes(self, state, val: Batches, epoch: int, k: int = 3):
+        """TB mesh logging with distance coloring (reference run.py:97-148)."""
+        try:
+            x = jnp.asarray(val.ds.inputs[:k])
+            y = val.ds.targets[:k]
+            if self.is_vae:
+                recon, _, _ = self.model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    x, train=False, sample=False,
+                )
+            else:
+                recon = self.model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    x, train=False,
+                )
+            from geniconet_tpu.ops.vertices import grid_to_vertices
+
+            v = np.asarray(grid_to_vertices(recon, self.s))
+            self.logger.meshes("val_recon", v, y[..., :3], self.s, epoch)
+        except Exception as e:  # logging must never kill training
+            print(f"[log_mesh] skipped: {e}")

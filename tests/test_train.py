@@ -1,0 +1,133 @@
+"""End-to-end training: loss goes down, resume works, DP == single-device."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from geniconet_tpu.data.datasets import synthetic_dataset
+from geniconet_tpu.data.pipeline import Batches
+from geniconet_tpu.parallel import mesh as mesh_lib
+from geniconet_tpu.train import checkpoint as ckpt
+from geniconet_tpu.train.config import Config
+from geniconet_tpu.train.schedule import cyclic_triangular
+from geniconet_tpu.train.trainer import Trainer
+
+
+def small_cfg(tmp_path, model="ico2ico", epochs=3):
+    cfg = Config()
+    cfg.model.name = model
+    cfg.model.subdivisions = 3
+    cfg.model.widths = (8, 12, 16)
+    cfg.model.latent_features = 24
+    cfg.train.batch_size = 8
+    cfg.train.train_epoch = epochs
+    cfg.train.save_epoch_freq = 2
+    cfg.train.log_mesh_epoch = 0
+    cfg.optim.lr_base = 1e-4
+    cfg.optim.lr_max = 3e-3
+    cfg.optim.step_size_up = 20
+    cfg.optim.step_size_down = 20
+    cfg.log_dir = str(tmp_path)
+    return cfg
+
+
+def test_cyclic_lr_matches_torch_semantics():
+    base, mx = 1e-9, 1e-3
+    lrs = [float(cyclic_triangular(s, base, mx, 4, 4)) for s in range(10)]
+    # step 0 -> base; step 4 -> max; step 8 -> base again
+    np.testing.assert_allclose(lrs[0], base)
+    np.testing.assert_allclose(lrs[4], mx)
+    np.testing.assert_allclose(lrs[8], base)
+    assert lrs[1] < lrs[2] < lrs[3] < lrs[4] > lrs[5] > lrs[6]
+
+
+def test_ae_train_loss_decreases(tmp_path):
+    cfg = small_cfg(tmp_path, epochs=4)
+    ds = synthetic_dataset(3, 16, seed=0)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(ds.inputs[:1])
+    trn = Batches(ds, cfg.train.batch_size, shuffle=True)
+    val = Batches(ds, cfg.train.batch_size, shuffle=False)
+    state, history = trainer.fit(state, trn, val, 0)
+    assert history[-1] < history[0]
+    # EB checkpoints exist and GC keeps them bounded
+    ckpt_dir = os.path.join(cfg.model_log_dir(), "savedModel")
+    files = os.listdir(ckpt_dir)
+    assert any("_EB" in f for f in files)
+    assert any("_E2.ckpt" in f or "_E4.ckpt" in f for f in files)
+
+
+def test_vae_train_and_misc(tmp_path):
+    cfg = small_cfg(tmp_path, model="ico2ico_vae", epochs=2)
+    ds = synthetic_dataset(3, 12, seed=1)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(ds.inputs[:1])
+    trn = Batches(ds, cfg.train.batch_size, shuffle=True)
+    val = Batches(ds, cfg.train.batch_size, shuffle=False)
+    state, history = trainer.fit(state, trn, val, 0)
+    assert np.isfinite(history).all()
+    # VAE checkpoints carry the last-batch (mu, logvar) misc (run.py:274-277)
+    ep = ckpt.latest_best_epoch(os.path.join(cfg.model_log_dir(), "savedModel"), cfg.model.name)
+    blob = ckpt.load_checkpoint(
+        ckpt.checkpoint_path(
+            os.path.join(cfg.model_log_dir(), "savedModel"), cfg.model.name, ep, best=True
+        )
+    )
+    assert "misc" in blob and "trn_mean" in blob["misc"]
+    assert blob["misc"]["trn_mean"].ndim == 4
+
+
+def test_resume_roundtrip(tmp_path):
+    cfg = small_cfg(tmp_path, epochs=2)
+    ds = synthetic_dataset(3, 8, seed=2)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(ds.inputs[:1])
+    trn = Batches(ds, cfg.train.batch_size, shuffle=True)
+    val = Batches(ds, cfg.train.batch_size, shuffle=False)
+    state, _ = trainer.fit(state, trn, val, 0)
+    step_before = int(jax.device_get(state.step))
+
+    ckpt_dir = os.path.join(cfg.model_log_dir(), "savedModel")
+    path = ckpt.checkpoint_path(ckpt_dir, cfg.model.name, 2, best=False)
+    trainer2 = Trainer(cfg)
+    state2 = trainer2.init_state(ds.inputs[:1], seed=7)
+    state2, epoch = trainer2.restore(state2, path)
+    assert epoch == 2
+    assert int(jax.device_get(state2.step)) == step_before
+    # params restored identically
+    p1 = jax.device_get(state.params)
+    p2 = jax.device_get(state2.params)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dp_matches_single_device(tmp_path):
+    """8-way data parallel must reproduce the single-device loss trajectory
+    (global-batch BatchNorm + summed gradient semantics under GSPMD)."""
+    ds = synthetic_dataset(3, 16, seed=3)
+
+    def run(mesh):
+        cfg = small_cfg(tmp_path / ("dp" if mesh else "sp"), epochs=2)
+        trainer = Trainer(cfg, mesh=mesh)
+        state = trainer.init_state(ds.inputs[:1], seed=5)
+        sharding = mesh_lib.data_sharding(mesh) if mesh else None
+        trn = Batches(ds, 8, shuffle=True, sharding=sharding, seed=9)
+        val = Batches(ds, 8, shuffle=False, sharding=sharding)
+        state, history = trainer.fit(state, trn, val, 0)
+        return np.asarray(history)
+
+    h_single = run(None)
+    h_dp = run(mesh_lib.make_mesh(8))
+    np.testing.assert_allclose(h_single, h_dp, rtol=2e-3, atol=1e-5)
+
+
+def test_restore_filtered_partial():
+    """Key-filtered partial restore (split-model capability, run.py:360-367)."""
+    tgt = {"a": {"x": np.zeros((2, 2), np.float32)}, "b": np.zeros(3, np.float32)}
+    stored = {"a": {"x": np.ones((2, 2), np.float32)}, "c": np.ones(5, np.float32)}
+    merged, matched, total = ckpt.restore_filtered(tgt, stored)
+    assert matched == 1 and total == 2
+    np.testing.assert_array_equal(merged["a"]["x"], 1.0)
+    np.testing.assert_array_equal(merged["b"], 0.0)
