@@ -92,10 +92,15 @@ def ico_conv_s2s_padded(
     padded: jnp.ndarray,
     kernel: jnp.ndarray,
     stride: int,
-    *,
-    accum_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Apply the masked 3×3 conv to an already-padded (B, 5, h+2, w+2, C) tensor."""
+    """Apply the masked 3×3 conv to an already-padded (B, 5, h+2, w+2, C) tensor.
+
+    Output dtype == input dtype. The TPU MXU accumulates bf16 operands in
+    fp32 internally; asking XLA for an fp32 output via
+    ``preferred_element_type`` would break the conv's transpose rule under
+    AD (mixed-dtype cotangents), so per-conv rounding to the compute dtype
+    is the standard mixed-precision contract here.
+    """
     B, n, hp, wp, cin = padded.shape
     if stride == 2:
         padded = padded[:, :, 1:, :, :]
@@ -109,10 +114,9 @@ def ico_conv_s2s_padded(
         window_strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=accum_dtype,
     )
     _, ho, wo, cout = out.shape
-    return out.reshape(B, n, ho, wo, cout).astype(padded.dtype)
+    return out.reshape(B, n, ho, wo, cout)
 
 
 def ico_conv_s2s(
@@ -122,8 +126,6 @@ def ico_conv_s2s(
     subdivisions: int,
     stride: int = 1,
     corner_mode: str = "average",
-    *,
-    accum_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Hex conv over the chart-split grid tensor.
 
@@ -138,7 +140,7 @@ def ico_conv_s2s(
     """
     kernel = taps_to_kernel(taps)
     padded = ico_pad(x, subdivisions, corner_mode)
-    out = ico_conv_s2s_padded(padded, kernel, stride, accum_dtype=accum_dtype)
+    out = ico_conv_s2s_padded(padded, kernel, stride)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
