@@ -1,0 +1,276 @@
+"""App backend state: model halves, latent cache, PCA/KDTree, decode paths.
+
+Capability parity with the reference Dash app's callback backend (app.py):
+encoder/decoder access on a trained checkpoint (app.py:1323-1369 — here via
+``apply(method='encode'/'decode')`` instead of split-model weight surgery),
+latent interpolation (app.py:1502-1504), latent arithmetic (app.py:998-1050),
+PCA(3)+KDTree over dataset latents with on-disk cache (app.py:255-279),
+per-channel latent exploration ±3σ with optional noise (app.py:814-852),
+re-generation ``z = mu + k·σ·ε`` (app.py:929-948), patch-wise latent
+combination (app.py:1191-1202), and mesh colorings: self-intersection
+(visualizer_utils.py:50-58, via the native C++ detector), distance to
+reference (:30-37), patch colors (:38-43).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geniconet_tpu import native
+from geniconet_tpu.data.datasets import IcoDataset, load_ico_npz, synthetic_dataset
+from geniconet_tpu.data.offio import read_off
+from geniconet_tpu.geometry import ico
+from geniconet_tpu.ops.vertices import grid_to_vertices
+from geniconet_tpu.train import checkpoint as ckpt
+from geniconet_tpu.train.config import Config
+from geniconet_tpu.train.trainer import Trainer, build_model
+
+__all__ = ["AppState"]
+
+
+class AppState:
+    def __init__(self):
+        self.info = None
+        self.cfg: Config | None = None
+        self.model = None
+        self.variables = None
+        self.dataset: IcoDataset | None = None
+        self.latents = None      # (N, Hz, Wz, C) mu for VAE / z for AE
+        self.logvars = None      # (N, Hz, Wz, C) for VAE
+        self.pca = None
+        self.pca_points = None
+        self.kdtree = None
+        self._encode_fn = None
+        self._decode_fn = None
+        self.epoch = None
+
+    # ------------------------------------------------------------------
+
+    def load(self, cfg: Config, data_instance: str = "val"):
+        """Load checkpoint + dataset, jit encode/decode, build latent cache."""
+        self.cfg = cfg
+        s = cfg.model.subdivisions
+        if cfg.data.synthetic:
+            self.dataset = synthetic_dataset(s, cfg.data.synthetic,
+                                             seed=cfg.data.synthetic_seed)
+        else:
+            self.dataset = IcoDataset.from_directory(
+                cfg.data.data_dir, s, cfg.data.layout_level, data_instance,
+                cfg.data.ext, cfg.train.quick_learn,
+            )
+
+        name = cfg.model.name
+        ckpt_dir = os.path.join(cfg.model_log_dir(), "savedModel")
+        epoch = ckpt.latest_best_epoch(ckpt_dir, name)
+        if epoch is None:
+            raise FileNotFoundError(f"no EB checkpoint under {ckpt_dir}")
+        trainer = Trainer(cfg)
+        state = trainer.init_state(self.dataset.inputs[:1], seed=0)
+        state, self.epoch = trainer.restore(
+            state, ckpt.checkpoint_path(ckpt_dir, name, epoch, best=True)
+        )
+        self.model = trainer.model
+        self.variables = {"params": state.params, "batch_stats": state.batch_stats}
+        model, variables = self.model, self.variables
+        is_vae = cfg.model.is_vae
+
+        @jax.jit
+        def encode(x):
+            return model.apply(variables, x, method="encode")
+
+        @jax.jit
+        def decode(z):
+            out = model.apply(variables, z, method="decode")
+            return grid_to_vertices(out, s)
+
+        self._encode_fn = encode
+        self._decode_fn = decode
+
+        # latent cache over the dataset (batched)
+        zs, lvs = [], []
+        bs = 16
+        for i in range(0, len(self.dataset), bs):
+            x = jnp.asarray(self.dataset.inputs[i : i + bs])
+            enc = encode(x)
+            if is_vae:
+                mu, logvar = enc
+                zs.append(np.asarray(mu))
+                lvs.append(np.asarray(logvar))
+            else:
+                zs.append(np.asarray(enc))
+        self.latents = np.concatenate(zs, 0)
+        self.logvars = np.concatenate(lvs, 0) if lvs else None
+        self.pca = None  # invalidate
+        self.info = {
+            "n": len(self.dataset),
+            "names": self.dataset.names,
+            "classes": self.dataset.classes,
+            "epoch": self.epoch,
+            "latent_shape": list(self.latents.shape[1:]),
+            "is_vae": is_vae,
+            "subdivisions": s,
+        }
+        return self.info
+
+    # ------------------------------------------------------------------
+    # decode paths
+    # ------------------------------------------------------------------
+
+    def decode_latent(self, z: np.ndarray) -> np.ndarray:
+        """(Hz, Wz, C) latent -> (V, 3) vertices."""
+        v = self._decode_fn(jnp.asarray(z[None]))
+        return np.asarray(v)[0]
+
+    def interpolate(self, i: int, j: int, t: float) -> np.ndarray:
+        z = (1.0 - t) * self.latents[i] + t * self.latents[j]
+        return self.decode_latent(z)
+
+    def arithmetic(self, terms: list[tuple[str, int]]) -> np.ndarray:
+        """terms: [('+', i), ('-', j), ...] over dataset latents."""
+        z = np.zeros_like(self.latents[0])
+        for op, idx in terms:
+            z = z + self.latents[idx] if op == "+" else z - self.latents[idx]
+        return self.decode_latent(z), z
+
+    def explore_channel(self, i: int, channel: int, delta: float,
+                        noise: float = 0.0, seed: int = 0) -> np.ndarray:
+        """Shift one latent channel by delta·sigma (+ optional noise), decode.
+
+        sigma is the per-channel std over the dataset latents (the ±3σ UI
+        range of the reference, app.py:814-852).
+        """
+        z = self.latents[i].copy()
+        sigma = self.latents.std(axis=0)
+        z[..., channel] += delta * sigma[..., channel].mean()
+        if noise:
+            rng = np.random.RandomState(seed)
+            z += noise * sigma * rng.randn(*z.shape)
+        return self.decode_latent(z)
+
+    def regenerate(self, i: int, k: float, seed: int = 0) -> np.ndarray:
+        """VAE re-generation z = mu + k·σ·ε (app.py:929-948)."""
+        if self.logvars is None:
+            raise ValueError("regeneration requires a VAE model")
+        rng = np.random.RandomState(seed)
+        std = np.exp(0.5 * self.logvars[i])
+        z = self.latents[i] + k * std * rng.randn(*std.shape).astype(np.float32)
+        return self.decode_latent(z)
+
+    def patch_combine(self, i: int, j: int, take_from_j: list[int]) -> np.ndarray:
+        """Mix latent charts: rows of chart c come from j if c in take_from_j
+        (app.py:1191-1202 index_select/cat over the 5 patches)."""
+        s = self.cfg.model.subdivisions
+        hz = 2 ** (s - 3)
+        z = self.latents[i].copy()
+        zj = self.latents[j]
+        for c in take_from_j:
+            z[c * hz : (c + 1) * hz] = zj[c * hz : (c + 1) * hz]
+        return self.decode_latent(z)
+
+    # ------------------------------------------------------------------
+    # PCA + nearest neighbor (app.py:255-279, 383-409)
+    # ------------------------------------------------------------------
+
+    def fit_pca(self, cache_path: str | None = None):
+        if self.pca is not None:
+            return
+        flat = self.latents.reshape(len(self.latents), -1)
+        if cache_path and os.path.exists(cache_path):
+            with open(cache_path, "rb") as f:
+                self.pca, self.pca_points = pickle.load(f)
+        else:
+            from sklearn.decomposition import PCA
+
+            self.pca = PCA(n_components=3)
+            self.pca_points = self.pca.fit_transform(flat).astype(np.float32)
+            if cache_path:
+                with open(cache_path, "wb") as f:
+                    pickle.dump((self.pca, self.pca_points), f)
+        from scipy.spatial import KDTree
+
+        self.kdtree = KDTree(self.pca_points)
+
+    def pca_scatter(self):
+        self.fit_pca()
+        return {
+            "points": self.pca_points.tolist(),
+            "classes": self.dataset.classes,
+            "names": self.dataset.names,
+        }
+
+    def pca_nearest_decode(self, p3: list[float]):
+        """Nearest dataset latent to a 3-D PCA point, decoded."""
+        self.fit_pca()
+        _, idx = self.kdtree.query(np.asarray(p3, np.float32))
+        return self.decode_latent(self.latents[int(idx)]), int(idx)
+
+    def closest_pairs(self, k: int = 5, farthest: bool = False):
+        """Top-k closest/farthest PCA pairs (app.py:383-409)."""
+        self.fit_pca()
+        p = self.pca_points
+        d = np.linalg.norm(p[:, None] - p[None, :], axis=-1)
+        iu = np.triu_indices(len(p), 1)
+        order = np.argsort(d[iu])
+        if farthest:
+            order = order[::-1]
+        out = []
+        for t in order[:k]:
+            out.append({"i": int(iu[0][t]), "j": int(iu[1][t]), "d": float(d[iu][t])})
+        return out
+
+    # ------------------------------------------------------------------
+    # mesh assembly + colorings
+    # ------------------------------------------------------------------
+
+    def faces(self) -> np.ndarray:
+        return ico.get_ico_faces(self.cfg.model.subdivisions)
+
+    def reference_vertices(self, i: int) -> np.ndarray:
+        return self.dataset.targets[i, :, :3]
+
+    def reconstruct(self, i: int) -> np.ndarray:
+        return self.decode_latent(self.latents[i])
+
+    def colorize(self, vertices: np.ndarray, mode: str, ref: np.ndarray | None = None):
+        """Per-vertex RGB in [0,1] for the requested coloring mode."""
+        V = vertices.shape[0]
+        if mode == "patch":
+            palette = np.array(
+                [[0.84, 0.37, 0.0], [0.0, 0.62, 0.45], [0.34, 0.71, 0.91],
+                 [0.94, 0.89, 0.26], [0.8, 0.47, 0.65], [0.9, 0.9, 0.9],
+                 [0.5, 0.5, 0.5]], np.float32,
+            )
+            return palette[ico.get_patch_ids(self.cfg.model.subdivisions)]
+        if mode == "distance" and ref is not None:
+            d = np.linalg.norm(vertices - ref, axis=1)
+            dn = np.clip(d / max(d.mean() * 3.0, 1e-9), 0, 1)[:, None]
+            base = np.array([0.7, 0.7, 0.75], np.float32)
+            red = np.array([0.9, 0.1, 0.1], np.float32)
+            return (1 - dn) * base + dn * red
+        if mode == "selfintersection":
+            colors = np.tile(np.array([0.62, 0.66, 0.72], np.float32), (V, 1))
+            pairs = native.detect_self_intersection(vertices, self.faces())
+            if len(pairs):
+                bad_faces = np.unique(pairs.ravel())
+                bad_verts = np.unique(self.faces()[bad_faces].ravel())
+                colors[bad_verts] = [0.95, 0.15, 0.1]
+            return colors
+        return np.tile(np.array([0.62, 0.66, 0.72], np.float32), (V, 1))
+
+    # ------------------------------------------------------------------
+
+    def view_file(self, path: str):
+        """Generic .off/.npz viewer (app.py:1266-1296)."""
+        if path.endswith(".off"):
+            v, f = read_off(path)
+            return v, f
+        if path.endswith(".npz"):
+            s = self.cfg.model.subdivisions if self.cfg else 5
+            _, target = load_ico_npz(path, s)
+            return target[:, :3], ico.get_ico_faces(s)
+        raise ValueError(f"unsupported file type: {path}")
