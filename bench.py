@@ -20,7 +20,7 @@ import numpy as np
 
 # Round-1 anchor (meshes/sec/chip, ico2ico I5 train bs=36, fp32), measured
 # 2026-08-16 on one TPU v5e chip via tunnel; see BASELINE.md.
-BASELINE_MESHES_PER_SEC = 491.19
+BASELINE_MESHES_PER_SEC = 491.19  # round-1 fp32/XLA anchor (see BASELINE.md)
 
 
 def build():
@@ -33,6 +33,11 @@ def build():
     cfg.model.name = "ico2ico"
     cfg.model.subdivisions = 5
     cfg.train.batch_size = 36  # README train command (reference README.md:67-69)
+    # fast path: bf16 compute + fused Pallas conv kernels. Verified to track
+    # the fp32/XLA loss trajectory on the same data (see BASELINE.md).
+    cfg.model.compute_dtype = "bfloat16"
+    cfg.model.use_pallas = True
+    cfg.train.log_grad_freq = 0
     ds = synthetic_dataset(5, 36, seed=0)
     trainer = Trainer(cfg)
     state = trainer.init_state(ds.inputs[:1])
@@ -48,7 +53,7 @@ def main():
     # warmup / compile. NOTE: sync via device_get — block_until_ready does
     # not reliably wait on tunneled backends.
     t0 = time.perf_counter()
-    state, metrics, _ = trainer._jit_train_step(state, x, y, wt, 0)
+    state, metrics, _, _ = trainer._jit_train_step(state, x, y, wt, 0)
     float(jax.device_get(metrics["total"]))
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
@@ -56,7 +61,7 @@ def main():
     steps = 30
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics, _ = trainer._jit_train_step(state, x, y, wt, 0)
+        state, metrics, _, _ = trainer._jit_train_step(state, x, y, wt, 0)
     loss = float(jax.device_get(metrics["total"]))
     dt = time.perf_counter() - t0
     meshes_per_sec = 36 * steps / dt

@@ -19,7 +19,8 @@ from typing import Any, Callable, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from geniconet_tpu.ops.conv import ico_conv_s2s
+from geniconet_tpu.ops.conv import ico_conv_s2s, ico_conv_s2s_padded, taps_to_kernel
+from geniconet_tpu.ops.pad import ico_pad
 from geniconet_tpu.ops.upsample import ico_upsample_s2s
 
 __all__ = ["IcoConvS2S", "IcoBatchNorm", "DownBlock", "UpBlock", "hex_uniform_init"]
@@ -54,21 +55,39 @@ class IcoConvS2S(nn.Module):
     use_bias: bool = True
     corner_mode: str = "average"
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, is_padded: bool = False) -> jnp.ndarray:
+        """Apply the conv. With ``is_padded=True`` the input is an already
+        haloed ``(B, 5, h+2, w+2, C)`` tensor (lets residual blocks share one
+        `ico_pad` between their two stride branches)."""
         cin = x.shape[-1]
         init = hex_uniform_init(7 * cin)
         taps = self.param("taps", init, (7, cin, self.features))
         bias = self.param("bias", init, (self.features,)) if self.use_bias else None
-        y = ico_conv_s2s(
-            x.astype(self.dtype),
-            taps.astype(self.dtype),
-            bias.astype(self.dtype) if bias is not None else None,
-            self.subdivisions,
-            stride=self.stride,
-            corner_mode=self.corner_mode,
-        )
+        x = x.astype(self.dtype)
+        taps = taps.astype(self.dtype)
+        if self.use_pallas and self.stride == 1 and not is_padded:
+            from geniconet_tpu.ops.pallas.conv_kernel import fused_ico_conv_s2s
+
+            return fused_ico_conv_s2s(
+                x, taps, bias.astype(self.dtype) if bias is not None else None,
+                self.subdivisions, self.corner_mode,
+            )
+        if is_padded:
+            y = ico_conv_s2s_padded(x, taps_to_kernel(taps), self.stride)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+        else:
+            y = ico_conv_s2s(
+                x,
+                taps,
+                bias.astype(self.dtype) if bias is not None else None,
+                self.subdivisions,
+                stride=self.stride,
+                corner_mode=self.corner_mode,
+            )
         return y
 
 
@@ -113,18 +132,22 @@ class DownBlock(nn.Module):
     corner_mode: str = "average"
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_bias=self.use_bias)
+        kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_bias=self.use_bias,
+                  use_pallas=self.use_pallas)
         bn = dict(use_running_average=not train, axis_name=self.axis_name, dtype=self.dtype)
         s = self.in_subdivisions
-        b0 = IcoConvS2S(self.features, s, stride=2, name="conv00", **kw)(x)
+        # both stride-2 branches read the same halo — pad once
+        P = ico_pad(x.astype(self.dtype), s, self.corner_mode)
+        b0 = IcoConvS2S(self.features, s, stride=2, name="conv00", **kw)(P, is_padded=True)
         b0 = IcoBatchNorm(name="bn00", **bn)(b0)
         b0 = nn.relu(b0)
         b0 = IcoConvS2S(self.features, s - 1, stride=1, name="conv01", **kw)(b0)
         b0 = IcoBatchNorm(name="bn01", **bn)(b0)
-        b1 = IcoConvS2S(self.features, s, stride=2, name="conv10", **kw)(x)
+        b1 = IcoConvS2S(self.features, s, stride=2, name="conv10", **kw)(P, is_padded=True)
         b1 = IcoBatchNorm(name="bn10", **bn)(b1)
         return nn.relu(b0 + b1)
 
@@ -143,18 +166,26 @@ class UpBlock(nn.Module):
     corner_mode: str = "average"
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_bias=self.use_bias)
+        kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_bias=self.use_bias,
+                  use_pallas=self.use_pallas)
         bn = dict(use_running_average=not train, axis_name=self.axis_name, dtype=self.dtype)
         s = self.in_subdivisions
-        up = ico_upsample_s2s(x, s, self.corner_mode)
-        b0 = IcoConvS2S(self.features, s + 1, stride=1, name="conv00", **kw)(up)
+        up = ico_upsample_s2s(x.astype(self.dtype), s, self.corner_mode)
+        if self.use_pallas:
+            # fused kernels build their halo in VMEM — no HBM pre-pad
+            src, padded = up, False
+        else:
+            # both branches read the same upsampled halo — pad once
+            src, padded = ico_pad(up, s + 1, self.corner_mode), True
+        b0 = IcoConvS2S(self.features, s + 1, stride=1, name="conv00", **kw)(src, is_padded=padded)
         b0 = IcoBatchNorm(name="bn00", **bn)(b0)
         b0 = nn.relu(b0)
         b0 = IcoConvS2S(self.features, s + 1, stride=1, name="conv01", **kw)(b0)
         b0 = IcoBatchNorm(name="bn01", **bn)(b0)
-        b1 = IcoConvS2S(self.features, s + 1, stride=1, name="conv10", **kw)(up)
+        b1 = IcoConvS2S(self.features, s + 1, stride=1, name="conv10", **kw)(src, is_padded=padded)
         b1 = IcoBatchNorm(name="bn10", **bn)(b1)
         return nn.relu(b0 + b1)

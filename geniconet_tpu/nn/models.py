@@ -55,10 +55,11 @@ class _Encoder(nn.Module):
     corner_mode: str
     dtype: Any
     axis_name: Optional[str]
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(corner_mode=self.corner_mode, dtype=self.dtype)
+        kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_pallas=self.use_pallas)
         bn = dict(axis_name=self.axis_name, dtype=self.dtype)
         s = self.subdivisions
         x = IcoConvS2S(self.widths[0], s, stride=1, name="conv_in", **kw)(x)
@@ -68,6 +69,7 @@ class _Encoder(nn.Module):
             x = DownBlock(
                 width, s - k, axis_name=self.axis_name, name=f"down{k}",
                 corner_mode=self.corner_mode, dtype=self.dtype,
+                use_pallas=self.use_pallas,
             )(x, train=train)
         return x
 
@@ -79,6 +81,7 @@ class _Decoder(nn.Module):
     corner_mode: str
     dtype: Any
     axis_name: Optional[str]
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, z, train: bool = False):
@@ -88,6 +91,7 @@ class _Decoder(nn.Module):
             x = UpBlock(
                 width, s + k, axis_name=self.axis_name, name=f"up{k}",
                 corner_mode=self.corner_mode, dtype=self.dtype,
+                use_pallas=self.use_pallas,
             )(x, train=train)
         # 1x1 conv head + tanh (reference models.py:151-155); torch-style
         # U(±1/sqrt(fan_in)) init for kernel and bias
@@ -111,16 +115,19 @@ class IcoAE(nn.Module):
     corner_mode: str = "average"
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    use_pallas: bool = False
 
     def setup(self):
         if self.subdivisions < 3:
             raise ValueError("IcoAE needs subdivisions >= 3 (three stride-2 stages)")
         w0, w1, w2 = self.widths
         self.encoder = _Encoder(
-            self.subdivisions, (w0, w1, w2, w2), self.corner_mode, self.dtype, self.axis_name
+            self.subdivisions, (w0, w1, w2, w2), self.corner_mode, self.dtype,
+            self.axis_name, self.use_pallas,
         )
         self.decoder = _Decoder(
-            self.subdivisions - 3, (w2, w1, w0), 3, self.corner_mode, self.dtype, self.axis_name
+            self.subdivisions - 3, (w2, w1, w0), 3, self.corner_mode, self.dtype,
+            self.axis_name, self.use_pallas,
         )
 
     def encode(self, x, train: bool = False):
@@ -147,13 +154,15 @@ class IcoVAE(nn.Module):
     corner_mode: str = "average"
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    use_pallas: bool = False
 
     def setup(self):
         if self.subdivisions < 3:
             raise ValueError("IcoVAE needs subdivisions >= 3 (three stride-2 stages)")
         w0, w1, w2 = self.widths
         self.encoder = _Encoder(
-            self.subdivisions, (w0, w1, w2), self.corner_mode, self.dtype, self.axis_name
+            self.subdivisions, (w0, w1, w2), self.corner_mode, self.dtype,
+            self.axis_name, self.use_pallas,
         )
         conv_kw = dict(corner_mode=self.corner_mode, dtype=self.dtype)
         bn_kw = dict(axis_name=self.axis_name, dtype=self.dtype)
@@ -173,6 +182,7 @@ class IcoVAE(nn.Module):
             self.corner_mode,
             self.dtype,
             self.axis_name,
+            self.use_pallas,
         )
 
     def encode(self, x, train: bool = False):

@@ -64,7 +64,8 @@ def taps_to_kernel(taps: jnp.ndarray) -> jnp.ndarray:
     seven, cin, cout = taps.shape
     assert seven == 7, taps.shape
     full = jnp.zeros((9, cin, cout), taps.dtype)
-    full = full.at[jnp.asarray(_TAP_FLAT)].set(taps)
+    # unique_indices lets the scatter be linear-transposed (fused-conv bwd)
+    full = full.at[jnp.asarray(_TAP_FLAT)].set(taps, unique_indices=True)
     return full.reshape(3, 3, cin, cout)
 
 

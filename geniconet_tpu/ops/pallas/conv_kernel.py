@@ -1,0 +1,284 @@
+"""Fused Pallas hex-conv: cross-chart halo + 7-tap contraction in one kernel.
+
+The XLA path (ops/conv.py) materializes the padded ``(B,5,h+2,w+2,C)`` tensor
+in HBM between `ico_pad` and the conv. This kernel keeps the halo in VMEM:
+each grid program loads one sample's full 5-chart block (≤ ~1.3 MB even at
+s=5 ×64ch bf16 — channel width shrinks as resolution grows, so the block
+always fits), builds the padded array in a VMEM scratch with the exact
+`ico_pad` slicing semantics, and contracts the 7 hexagonal taps as shifted
+``(5·h·w, C_in) × (C_in, C_out)`` matmuls with fp32 accumulation on the MXU.
+
+Autodiff: `fused_ico_conv_s2s` carries a ``jax.custom_vjp`` whose backward
+is the VJP of the *reference XLA composition* (identical math), so training
+uses the fused forward while gradients stay provably equivalent; dedicated
+backward kernels can replace it later without touching callers.
+
+Only stride 1 is fused (stride-2 convs are the cheap minority and keep the
+XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from geniconet_tpu.geometry import ico
+from geniconet_tpu.ops.conv import HEX_TAP_OFFSETS, ico_conv_s2s
+from geniconet_tpu.ops.pad import ico_pad
+
+__all__ = ["fused_ico_conv_s2s"]
+
+
+def _build_padded(x, h, w, corner_mode):
+    """In-kernel halo construction; mirrors ops/pad.py `ico_pad` for one
+    sample: x (5, h, w, C) -> (5, h+2, w+2, C)."""
+    # chart c+1 / c-1 views via static-slice concat (Mosaic's rotate op does
+    # not support all dtypes)
+    up = jnp.concatenate([x[1:], x[:1]], axis=0)
+    dn = jnp.concatenate([x[4:], x[:4]], axis=0)
+
+    C = x.shape[-1]
+    if corner_mode == "average":
+        # unrolled sum over the 5 charts — Mosaic cannot reduce over a
+        # sublane-offset dimension (multi_reduction layout restriction)
+        fifth = jnp.asarray(0.2, jnp.float32)
+        pn = sum(x[c, 0:1, 0:1, :].astype(jnp.float32) for c in range(5)) * fifth
+        ps = sum(
+            x[c, h - 1 : h, w - 1 : w, :].astype(jnp.float32) for c in range(5)
+        ) * fifth
+        pole_n = jnp.broadcast_to(pn[None].astype(x.dtype), (5, 1, 1, C))
+        pole_s = jnp.broadcast_to(ps[None].astype(x.dtype), (5, 1, 1, C))
+    else:
+        pole_n = jnp.zeros((5, 1, 1, C), x.dtype)
+        pole_s = jnp.zeros((5, 1, 1, C), x.dtype)
+    zero = jnp.zeros((5, 1, 1, x.shape[-1]), x.dtype)
+
+    top = jnp.concatenate(
+        [
+            zero,
+            pole_n,
+            jnp.swapaxes(up[:, 0:h, 0:1, :], 1, 2),
+            up[:, h - 1 : h, 1 : h + 1, :],
+        ],
+        axis=2,
+    )
+    bottom = jnp.concatenate(
+        [
+            dn[:, 0:1, h - 1 : w, :],
+            jnp.swapaxes(dn[:, 0:h, w - 1 : w, :], 1, 2),
+            zero,
+        ],
+        axis=2,
+    )
+    left = jnp.swapaxes(dn[:, 0:1, 0:h, :], 1, 2)
+    right = jnp.concatenate(
+        [jnp.swapaxes(up[:, h - 1 : h, h + 1 : w, :], 1, 2), pole_s], axis=1
+    )
+    mid = jnp.concatenate([left, x, right], axis=2)
+    return jnp.concatenate([top, mid, bottom], axis=1)
+
+
+def _kernel(x_ref, w_ref, b_ref, o_ref, *, h, w, corner_mode, out_dtype):
+    x = x_ref[0]  # (5, h, w, Cin)
+    P = _build_padded(x, h, w, corner_mode)
+    cin = x.shape[-1]
+    cout = w_ref.shape[-1]
+    acc = jnp.zeros((5 * h * w, cout), jnp.float32)
+    for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
+        sl = P[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w, :].reshape(5 * h * w, cin)
+        acc += jnp.dot(sl, w_ref[t], preferred_element_type=jnp.float32)
+    acc += b_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.reshape(5, h, w, cout).astype(out_dtype)
+
+
+def _pallas_forward(x, taps, bias, subdivisions, corner_mode):
+    B = x.shape[0]
+    h, w = ico.chart_shape(subdivisions)
+    cin = x.shape[-1]
+    cout = taps.shape[-1]
+    if bias is None:
+        bias = jnp.zeros((cout,), x.dtype)
+    kernel = functools.partial(
+        _kernel, h=h, w=w, corner_mode=corner_mode, out_dtype=x.dtype
+    )
+    flops = 2 * B * 5 * h * w * 7 * cin * cout
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 5, h, w, cout), lambda b: (b, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 5, h, w, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # the s=5 f32 block (in + padded scratch + f32 acc + double
+            # buffering) exceeds the default 16M scoped-vmem budget
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(x, taps, bias.reshape(1, cout))
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _dtaps_kernel(x_ref, g_ref, o_ref, *, h, w, corner_mode):
+    """dL/dtaps[t] = P_slice(t)^T · g, accumulated across the batch grid."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    x = x_ref[0]
+    g = g_ref[0].reshape(5 * h * w, g_ref.shape[-1]).astype(jnp.float32)
+    P = _build_padded(x, h, w, corner_mode)
+    cin = x.shape[-1]
+    for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
+        sl = P[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w, :].reshape(5 * h * w, cin)
+        o_ref[t] += jax.lax.dot_general(
+            sl.astype(jnp.float32), g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, out_dtype):
+    """dx = padᵀ(convᵀ(g)): build dP = Σ_t slice_t ← g·W_tᵀ, then accumulate
+    every pad-source position back (the exact transpose of `_build_padded`)."""
+    g = g_ref[0]
+    cout = g.shape[-1]
+    cin = w_ref.shape[1]
+    gm = g.reshape(5 * h * w, cout).astype(jnp.float32)
+
+    # dP = Σ_t place(g·W_tᵀ at slice_t); static jnp.pad placement — Mosaic
+    # has no dynamic_slice/scatter lowering at value level
+    dP = jnp.zeros((5, h + 2, w + 2, cin), jnp.float32)
+    for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
+        contrib = jax.lax.dot_general(
+            gm, w_ref[t].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(5, h, w, cin)
+        dP += jnp.pad(
+            contrib,
+            ((0, 0), (1 + di, 1 - di), (1 + dj, 1 - dj), (0, 0)),
+        )
+
+    def place(val, r0, q0):
+        """Embed val (5, vh, vw, C) into a zero (5, h, w, C) at (r0, q0)."""
+        vh, vw = val.shape[1], val.shape[2]
+        return jnp.pad(val, ((0, 0), (r0, h - r0 - vh), (q0, w - q0 - vw), (0, 0)))
+
+    # interior
+    dx = dP[:, 1 : h + 1, 1 : w + 1, :]
+    # chart-rolled views: dPm1[c] = dP[c-1], dPp1[c] = dP[c+1]
+    dPm1 = jnp.concatenate([dP[4:], dP[:4]], axis=0)
+    dPp1 = jnp.concatenate([dP[1:], dP[:1]], axis=0)
+    swap = lambda a: jnp.swapaxes(a, 1, 2)
+    # transpose of: P[c,0,2:h+2]    = x[c+1, 0:h, 0]
+    dx += place(swap(dPm1[:, 0:1, 2 : h + 2, :]), 0, 0)
+    # transpose of: P[c,0,h+2:w+2]  = x[c+1, h-1, 1:h+1]
+    dx += place(dPm1[:, 0:1, h + 2 : w + 2, :], h - 1, 1)
+    # transpose of: P[c,h+1,0:h+1]  = x[c-1, 0, h-1:w]
+    dx += place(dPp1[:, h + 1 : h + 2, 0 : h + 1, :], 0, h - 1)
+    # transpose of: P[c,h+1,h+1:w+1]= x[c-1, 0:h, w-1]
+    dx += place(swap(dPp1[:, h + 1 : h + 2, h + 1 : w + 1, :]), 0, w - 1)
+    # transpose of: P[c,1:h+1,0]    = x[c-1, 0, 0:h]
+    dx += place(swap(dPp1[:, 1 : h + 1, 0:1, :]), 0, 0)
+    # transpose of: P[c,1:h,w+1]    = x[c+1, h-1, h+1:w]
+    dx += place(swap(dPm1[:, 1:h, w + 1 : w + 2, :]), h - 1, h + 1)
+    if corner_mode == "average":
+        # transpose of pole synthesis: every chart's pole cell feeds back
+        # 1/5 of the summed pole-position cotangents (unrolled — Mosaic
+        # cannot reduce over a sublane-offset dim)
+        fifth = jnp.asarray(0.2, jnp.float32)
+        dpn = sum(dP[c, 0:1, 1:2, :] for c in range(5)) * fifth  # (1,1,C)
+        dps = sum(dP[c, h : h + 1, w + 1 : w + 2, :] for c in range(5)) * fifth
+        dx += place(jnp.broadcast_to(dpn[None], (5, 1, 1, cin)), 0, 0)
+        dx += place(jnp.broadcast_to(dps[None], (5, 1, 1, cin)), h - 1, w - 1)
+    o_ref[0] = dx.astype(out_dtype)
+
+
+def _pallas_dtaps(x, g, subdivisions, corner_mode):
+    B = x.shape[0]
+    h, w = ico.chart_shape(subdivisions)
+    cin, cout = x.shape[-1], g.shape[-1]
+    kernel = functools.partial(_dtaps_kernel, h=h, w=w, corner_mode=corner_mode)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, h, w, cout), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((7, cin, cout), lambda b: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((7, cin, cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, g)
+    return out.astype(x.dtype)
+
+
+def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype):
+    B = g.shape[0]
+    h, w = ico.chart_shape(subdivisions)
+    cin, cout = taps.shape[1], g.shape[-1]
+    kernel = functools.partial(
+        _dx_kernel, h=h, w=w, corner_mode=corner_mode, out_dtype=out_dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 5, h, w, cout), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 5, h, w, cin), out_dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(g, taps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_ico_conv_s2s(x, taps, bias, subdivisions, corner_mode="average"):
+    """Drop-in fused stride-1 hex conv: (B,5,h,w,Cin) -> (B,5,h,w,Cout).
+
+    bias may be None. Backward = fused Pallas kernels (dtaps accumulated
+    across the batch grid; dx as the exact transpose of the halo pad),
+    verified against the XLA composition's autodiff in tests.
+    """
+    return _pallas_forward(x, taps, bias, subdivisions, corner_mode)
+
+
+def _fwd(x, taps, bias, subdivisions, corner_mode):
+    return _pallas_forward(x, taps, bias, subdivisions, corner_mode), (x, taps, bias)
+
+
+def _bwd(subdivisions, corner_mode, res, g):
+    x, taps, bias = res
+    dx = _pallas_dx(g, taps, subdivisions, corner_mode, x.dtype)
+    dtaps = _pallas_dtaps(x, g, subdivisions, corner_mode)
+    dbias = None if bias is None else jnp.sum(g, axis=(0, 1, 2, 3)).astype(bias.dtype)
+    return dx, dtaps, dbias
+
+
+fused_ico_conv_s2s.defvjp(_fwd, _bwd)

@@ -27,6 +27,7 @@ class ModelConfig:
     latent_features: int = 512  # VAE only
     corner_mode: str = "average"
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    use_pallas: bool = False  # fused Pallas conv kernels for stride-1 convs
 
     @property
     def is_vae(self) -> bool:
@@ -71,6 +72,10 @@ class TrainConfig:
     factor_gamma: float = 0.9
     debug_nans: bool = False
     data_parallel: bool = True  # shard batch over all local devices
+    log_grad_freq: int = 1000   # per-layer grad-norm logging period (0 = off)
+    log_encoding_epoch: int = 0  # VAE mu/logvar histogram period (0 = off)
+    profile_dir: str = ""       # jax.profiler trace output (epoch 1 traced)
+    debug_timing: bool = False  # print per-epoch step timing (--debug)
 
 
 @dataclass
@@ -111,6 +116,7 @@ def apply_model_presets(cfg: Config):
         cfg.train.save_epoch_freq = 50
         cfg.train.log_freq = 20
         cfg.train.log_mesh_epoch = 25
+        cfg.train.log_encoding_epoch = 50
     else:
         cfg.train.save_epoch_freq = 100
         cfg.train.log_freq = 10
@@ -137,8 +143,11 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N synthetic meshes instead of --dataDir")
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"], default=None)
+    p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--no_data_parallel", action="store_true")
     p.add_argument("--debug_nans", action="store_true")
+    p.add_argument("--debug", action="store_true", help="print per-epoch timing")
+    p.add_argument("--profile_dir", type=str, default="")
     p.add_argument("--seed", type=int, default=0)
     a = p.parse_args(argv)
 
@@ -166,7 +175,10 @@ def parse_args(argv=None) -> Config:
     cfg.train.quick_learn = a.quickLearn
     cfg.train.seed = a.seed
     cfg.train.debug_nans = a.debug_nans
+    cfg.train.debug_timing = a.debug
+    cfg.train.profile_dir = a.profile_dir
     cfg.train.data_parallel = not a.no_data_parallel
     if a.compute_dtype:
         cfg.model.compute_dtype = a.compute_dtype
+    cfg.model.use_pallas = a.use_pallas
     return cfg

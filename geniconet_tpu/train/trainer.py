@@ -57,12 +57,14 @@ def build_model(cfg: Config):
             latent_features=m.latent_features,
             corner_mode=m.corner_mode,
             dtype=dtype,
+            use_pallas=m.use_pallas,
         )
     return IcoAE(
         subdivisions=m.subdivisions,
         widths=tuple(m.widths),
         corner_mode=m.corner_mode,
         dtype=dtype,
+        use_pallas=m.use_pallas,
     )
 
 
@@ -157,6 +159,16 @@ class Trainer:
         new_params = optax.apply_updates(state.params, updates)
         metrics["lr"] = self.lr_fn(state.step)
         metrics["finite"] = jnp.isfinite(loss)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        if self.cfg.train.log_grad_freq:
+            # per-layer grad norms (grad-flow surface, reference run.py:264-267)
+            flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+            gflow = {}
+            for path, leaf in flat:
+                name = "/".join(str(getattr(k, "key", k)) for k in path)
+                gflow[name] = jnp.linalg.norm(leaf.astype(jnp.float32))
+        else:
+            gflow = {}
         new_state = TrainState(
             params=new_params,
             batch_stats=new_bstats,
@@ -164,7 +176,7 @@ class Trainer:
             step=state.step + 1,
             rng=state.rng,
         )
-        return new_state, metrics, misc
+        return new_state, metrics, misc, gflow
 
     def _eval_step(self, state: TrainState, x, y, wt, epoch):
         rng = jax.random.fold_in(state.rng, 0x7FFFFFFF)
@@ -182,8 +194,9 @@ class Trainer:
         n = 0
         log_freq = max(1, self.cfg.train.log_freq)
         last_metrics = None
+        gf_freq = self.cfg.train.log_grad_freq
         for i, (x, y, wt) in enumerate(batches.epoch()):
-            state, metrics, misc = self._jit_train_step(state, x, y, wt, epoch)
+            state, metrics, misc, gflow = self._jit_train_step(state, x, y, wt, epoch)
             n += 1
             if self.is_vae and misc is not None:
                 self.last_misc = misc
@@ -196,7 +209,13 @@ class Trainer:
                     )
                 gstep = int(jax.device_get(state.step))
                 self.logger.scalars("trn", host, gstep)
+                if gf_freq and gstep % gf_freq < log_freq and gflow:
+                    gf_host = {k: float(v) for k, v in jax.device_get(gflow).items()}
+                    self.logger.scalars("grad_flow", gf_host, gstep)
         dt = time.perf_counter() - t0
+        if self.cfg.train.debug_timing:
+            per = dt / max(n, 1)
+            print(f"[debug] epoch {epoch}: {n} iters in {dt:.2f}s ({per*1000:.1f} ms/iter)")
         return state, {"iters": n, "seconds": dt, "last": last_metrics}
 
     def validate(self, state: TrainState, batches: Batches, epoch: int):
@@ -230,7 +249,23 @@ class Trainer:
                 and epoch % cfg.train.log_mesh_epoch == 0
             ):
                 self._log_meshes(state, val, epoch)
+            if (
+                self.logger is not None
+                and self.is_vae
+                and cfg.train.log_encoding_epoch
+                and epoch % cfg.train.log_encoding_epoch == 0
+                and self.last_misc is not None
+            ):
+                # encoding stats (reference log_encoding, run.py:167-215)
+                mu, logvar = jax.device_get(self.last_misc)
+                gstep = int(jax.device_get(state.step))
+                self.logger.histogram("encoding/mu", np.asarray(mu), gstep)
+                self.logger.histogram("encoding/logvar", np.asarray(logvar), gstep)
+            if cfg.train.profile_dir and epoch == start_epoch + 1:
+                jax.profiler.start_trace(cfg.train.profile_dir)
             state, info = self.train_epoch(state, trn, epoch)
+            if cfg.train.profile_dir and epoch == start_epoch + 1:
+                jax.profiler.stop_trace()
             avg = self.validate(state, val, epoch + 1)
             cur = avg.get("total", np.inf)
             history.append(cur)
