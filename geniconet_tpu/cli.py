@@ -94,6 +94,38 @@ def experiment_train(cfg: Config):
     return history
 
 
+def experiment_encode(cfg: Config):
+    """Export per-sample latent encodings as .npz (key 'arr_0' — the format
+    the reference's enc datasets read back, data.py:38-44). Serves the
+    reference's ico2enc flow (data.py:103-119) without split models."""
+    import jax.numpy as jnp
+
+    from geniconet_tpu.app.state import AppState
+
+    st = AppState()
+    infos = []
+    for instance in ("trn", "val"):
+        try:
+            info = st.load(cfg, instance)
+        except FileNotFoundError as e:
+            print(f"[encode] {instance}: {e}")
+            continue
+        out_dir = os.path.join(
+            cfg.out_dir or os.path.join(cfg.model_log_dir(), "data"), "enc", instance
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        for k, name in enumerate(st.dataset.names):
+            z = st.latents[k]
+            if st.logvars is not None:
+                np.savez(os.path.join(out_dir, name + ".npz"), st.latents[k],
+                         logvar=st.logvars[k])
+            else:
+                np.savez(os.path.join(out_dir, name + ".npz"), z)
+        print(f"[encode] wrote {len(st.dataset.names)} encodings to {out_dir}")
+        infos.append(info)
+    return infos
+
+
 def experiment_test(cfg: Config):
     from geniconet_tpu.eval.test_driver import run_test
 
@@ -112,6 +144,8 @@ def main(argv=None):
     cfg = parse_args(argv)
     if cfg.process == "train":
         experiment_train(cfg)
+    elif cfg.process == "encode":
+        experiment_encode(cfg)
     else:
         experiment_test(cfg)
 

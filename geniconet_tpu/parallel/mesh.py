@@ -31,6 +31,24 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
+def make_mesh_2d(dp: int, sp: int, devices=None) -> Mesh:
+    """2-D ('data', 'spatial') mesh: batch DP × spatial sharding of the grid
+    W axis — the halo-exchange analogue of context parallelism for the
+    subdivision-6/7 stretch configs (SURVEY §5: shard the chart axis past
+    HBM-friendly I5; GSPMD inserts the border collectives)."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= dp * sp, (dp, sp, devices)
+    return Mesh(
+        np.asarray(devices[: dp * sp]).reshape(dp, sp), axis_names=("data", "spatial")
+    )
+
+
+def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, C) grids: batch over 'data', W over 'spatial'."""
+    return NamedSharding(mesh, P("data", None, "spatial", None))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

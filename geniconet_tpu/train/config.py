@@ -128,7 +128,7 @@ def parse_args(argv=None) -> Config:
     """CLI mirroring reference run.py:538-587."""
     p = argparse.ArgumentParser(description="GenIcoNet-TPU experiment runner")
     p.add_argument("--model", choices=["ico2ico", "ico2ico_vae"], required=True)
-    p.add_argument("--process", choices=["train", "test"], required=True)
+    p.add_argument("--process", choices=["train", "test", "encode"], required=True)
     p.add_argument("--dataDir", type=str, default="")
     p.add_argument("--logDir", type=str, default="log")
     p.add_argument("--outDir", type=str, default="")
