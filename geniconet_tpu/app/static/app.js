@@ -178,4 +178,19 @@ $("btnExport").onclick = async () => {
   status("exported: " + r.path);
 };
 
+// client-side PNG export of the output pane (kaleido-free figure export)
+const pngBtn = document.createElement("button");
+pngBtn.textContent = "download output pane .png";
+pngBtn.onclick = () => {
+  viewerB.draw();  // ensure fresh frame (preserveDrawingBuffer not set)
+  const c = document.getElementById("canvasB");
+  requestAnimationFrame(() => {
+    const a = document.createElement("a");
+    a.download = "geniconet_output.png";
+    a.href = c.toDataURL("image/png");
+    a.click();
+  });
+};
+$("btnExport").after(pngBtn);
+
 init();

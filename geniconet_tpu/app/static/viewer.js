@@ -80,7 +80,8 @@ const Camera = {
 class MeshViewer {
   constructor(canvas) {
     this.canvas = canvas;
-    const gl = canvas.getContext("webgl");
+    // preserveDrawingBuffer so toDataURL (PNG export) sees the last frame
+    const gl = canvas.getContext("webgl", { preserveDrawingBuffer: true });
     this.gl = gl;
     this.nIndices = 0;
     const prog = gl.createProgram();

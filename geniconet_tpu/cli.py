@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from geniconet_tpu.data.datasets import IcoDataset, synthetic_dataset
@@ -68,6 +69,20 @@ def experiment_train(cfg: Config):
     state = trainer.init_state(trn_ds.inputs[:1], seed=cfg.train.seed)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     print(f"[train] optimizable parameters: {n_params}")
+
+    # model summary saved at train start (torchsummary parity, run.py:427-430)
+    try:
+        from geniconet_tpu.train.summary import model_summary
+
+        rngs = {"params": jax.random.key(0)}
+        if cfg.model.is_vae:
+            rngs["reparam"] = jax.random.key(1)
+        summ = model_summary(trainer.model, jnp.asarray(trn_ds.inputs[:1]), rngs)
+        with open(os.path.join(log_dir, f"train_{cfg.model.name}_summary.txt"), "w") as f:
+            f.write(summ)
+        logger.text("model_summary", summ)
+    except Exception as e:
+        print(f"[train] summary skipped: {e}")
 
     start_epoch = 0
     if cfg.train.load_pretrained_model:

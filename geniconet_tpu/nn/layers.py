@@ -68,12 +68,16 @@ class IcoConvS2S(nn.Module):
         bias = self.param("bias", init, (self.features,)) if self.use_bias else None
         x = x.astype(self.dtype)
         taps = taps.astype(self.dtype)
+        # fused path: stride-1 only. The stride-2 kernel exists and is
+        # numerically verified (tests/test_pallas_conv.py) but its parity
+        # reshape sends Mosaic into multi-minute compiles, so stride-2
+        # stays on the shared-pad XLA path until that is fixed.
         if self.use_pallas and self.stride == 1 and not is_padded:
             from geniconet_tpu.ops.pallas.conv_kernel import fused_ico_conv_s2s
 
             return fused_ico_conv_s2s(
                 x, taps, bias.astype(self.dtype) if bias is not None else None,
-                self.subdivisions, self.corner_mode,
+                self.subdivisions, self.corner_mode, self.stride,
             )
         if is_padded:
             y = ico_conv_s2s_padded(x, taps_to_kernel(taps), self.stride)
@@ -140,14 +144,15 @@ class DownBlock(nn.Module):
                   use_pallas=self.use_pallas)
         bn = dict(use_running_average=not train, axis_name=self.axis_name, dtype=self.dtype)
         s = self.in_subdivisions
-        # both stride-2 branches read the same halo — pad once
-        P = ico_pad(x.astype(self.dtype), s, self.corner_mode)
-        b0 = IcoConvS2S(self.features, s, stride=2, name="conv00", **kw)(P, is_padded=True)
+        # both stride-2 branches read the same halo — pad once (stride-2
+        # convs stay on the XLA path; see IcoConvS2S)
+        src, padded = ico_pad(x.astype(self.dtype), s, self.corner_mode), True
+        b0 = IcoConvS2S(self.features, s, stride=2, name="conv00", **kw)(src, is_padded=padded)
         b0 = IcoBatchNorm(name="bn00", **bn)(b0)
         b0 = nn.relu(b0)
         b0 = IcoConvS2S(self.features, s - 1, stride=1, name="conv01", **kw)(b0)
         b0 = IcoBatchNorm(name="bn01", **bn)(b0)
-        b1 = IcoConvS2S(self.features, s, stride=2, name="conv10", **kw)(P, is_padded=True)
+        b1 = IcoConvS2S(self.features, s, stride=2, name="conv10", **kw)(src, is_padded=padded)
         b1 = IcoBatchNorm(name="bn10", **bn)(b1)
         return nn.relu(b0 + b1)
 

@@ -164,7 +164,7 @@ class IcoVAE(nn.Module):
             self.subdivisions, (w0, w1, w2), self.corner_mode, self.dtype,
             self.axis_name, self.use_pallas,
         )
-        conv_kw = dict(corner_mode=self.corner_mode, dtype=self.dtype)
+        conv_kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_pallas=self.use_pallas)
         bn_kw = dict(axis_name=self.axis_name, dtype=self.dtype)
         # mu / logvar heads: stride-2 conv + BN (reference models.py:268-286)
         self.mu_conv = IcoConvS2S(

@@ -82,30 +82,50 @@ def _build_padded(x, h, w, corner_mode):
     return jnp.concatenate([top, mid, bottom], axis=1)
 
 
-def _kernel(x_ref, w_ref, b_ref, o_ref, *, h, w, corner_mode, out_dtype):
+def _tap_slice(P, h, w, di, dj, stride):
+    """Tap-shifted window of the padded array, optionally stride-2.
+
+    stride 1: P[:, 1+di : 1+di+h, 1+dj : 1+dj+w].
+    stride 2: centers P[2r'+2, 2q'+1] -> rows (2+di)::2 (h/2), cols
+    (1+dj)::2 (w/2). Mosaic has no strided slicing, so parity-split via a
+    reshape: rows a0+2k = parity(a0) rows offset a0//2.
+    """
+    if stride == 1:
+        return P[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w, :]
+    C = P.shape[-1]
+    a0, b0 = 2 + di, 1 + dj
+    ra, pa = a0 // 2, a0 % 2
+    cb, pb = b0 // 2, b0 % 2
+    Pr = P.reshape(5, (h + 2) // 2, 2, (w + 2) // 2, 2, C)
+    return Pr[:, ra : ra + h // 2, pa, cb : cb + w // 2, pb, :]
+
+
+def _kernel(x_ref, w_ref, b_ref, o_ref, *, h, w, corner_mode, stride, out_dtype):
     x = x_ref[0]  # (5, h, w, Cin)
     P = _build_padded(x, h, w, corner_mode)
     cin = x.shape[-1]
     cout = w_ref.shape[-1]
-    acc = jnp.zeros((5 * h * w, cout), jnp.float32)
+    ho, wo = h // stride, w // stride
+    acc = jnp.zeros((5 * ho * wo, cout), jnp.float32)
     for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
-        sl = P[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w, :].reshape(5 * h * w, cin)
+        sl = _tap_slice(P, h, w, di, dj, stride).reshape(5 * ho * wo, cin)
         acc += jnp.dot(sl, w_ref[t], preferred_element_type=jnp.float32)
     acc += b_ref[0].astype(jnp.float32)
-    o_ref[0] = acc.reshape(5, h, w, cout).astype(out_dtype)
+    o_ref[0] = acc.reshape(5, ho, wo, cout).astype(out_dtype)
 
 
-def _pallas_forward(x, taps, bias, subdivisions, corner_mode):
+def _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride=1):
     B = x.shape[0]
     h, w = ico.chart_shape(subdivisions)
+    ho, wo = h // stride, w // stride
     cin = x.shape[-1]
     cout = taps.shape[-1]
     if bias is None:
         bias = jnp.zeros((cout,), x.dtype)
     kernel = functools.partial(
-        _kernel, h=h, w=w, corner_mode=corner_mode, out_dtype=x.dtype
+        _kernel, h=h, w=w, corner_mode=corner_mode, stride=stride, out_dtype=x.dtype
     )
-    flops = 2 * B * 5 * h * w * 7 * cin * cout
+    flops = 2 * B * 5 * ho * wo * 7 * cin * cout
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -115,9 +135,9 @@ def _pallas_forward(x, taps, bias, subdivisions, corner_mode):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 5, h, w, cout), lambda b: (b, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 5, h, w, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, 5, ho, wo, cout), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=x.size * x.dtype.itemsize * 2,
@@ -136,7 +156,7 @@ def _pallas_forward(x, taps, bias, subdivisions, corner_mode):
 # ---------------------------------------------------------------------------
 
 
-def _dtaps_kernel(x_ref, g_ref, o_ref, *, h, w, corner_mode):
+def _dtaps_kernel(x_ref, g_ref, o_ref, *, h, w, corner_mode, stride):
     """dL/dtaps[t] = P_slice(t)^T · g, accumulated across the batch grid."""
     b = pl.program_id(0)
 
@@ -145,11 +165,12 @@ def _dtaps_kernel(x_ref, g_ref, o_ref, *, h, w, corner_mode):
         o_ref[...] = jnp.zeros_like(o_ref)
 
     x = x_ref[0]
-    g = g_ref[0].reshape(5 * h * w, g_ref.shape[-1]).astype(jnp.float32)
+    ho, wo = h // stride, w // stride
+    g = g_ref[0].reshape(5 * ho * wo, g_ref.shape[-1]).astype(jnp.float32)
     P = _build_padded(x, h, w, corner_mode)
     cin = x.shape[-1]
     for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
-        sl = P[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w, :].reshape(5 * h * w, cin)
+        sl = _tap_slice(P, h, w, di, dj, stride).reshape(5 * ho * wo, cin)
         o_ref[t] += jax.lax.dot_general(
             sl.astype(jnp.float32), g,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -157,13 +178,15 @@ def _dtaps_kernel(x_ref, g_ref, o_ref, *, h, w, corner_mode):
         )
 
 
-def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, out_dtype):
+def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, stride, out_dtype):
     """dx = padᵀ(convᵀ(g)): build dP = Σ_t slice_t ← g·W_tᵀ, then accumulate
-    every pad-source position back (the exact transpose of `_build_padded`)."""
+    every pad-source position back (the exact transpose of `_build_padded`,
+    which is stride-independent)."""
     g = g_ref[0]
     cout = g.shape[-1]
     cin = w_ref.shape[1]
-    gm = g.reshape(5 * h * w, cout).astype(jnp.float32)
+    ho, wo = h // stride, w // stride
+    gm = g.reshape(5 * ho * wo, cout).astype(jnp.float32)
 
     # dP = Σ_t place(g·W_tᵀ at slice_t); static jnp.pad placement — Mosaic
     # has no dynamic_slice/scatter lowering at value level
@@ -173,11 +196,28 @@ def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, out_dtype):
             gm, w_ref[t].astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(5, h, w, cin)
-        dP += jnp.pad(
-            contrib,
-            ((0, 0), (1 + di, 1 - di), (1 + dj, 1 - dj), (0, 0)),
-        )
+        ).reshape(5, ho, wo, cin)
+        if stride == 1:
+            dP += jnp.pad(
+                contrib,
+                ((0, 0), (1 + di, 1 - di), (1 + dj, 1 - dj), (0, 0)),
+            )
+        else:
+            # scatter to strided positions a0+2k, b0+2k via parity interleave
+            a0, b0 = 2 + di, 1 + dj
+            ra, pa = a0 // 2, a0 % 2
+            cb, pb = b0 // 2, b0 % 2
+            z = jnp.zeros_like(contrib)
+            cols = jnp.stack([contrib, z] if pb == 0 else [z, contrib], axis=3)
+            cols = cols.reshape(5, ho, wo * 2, cin)
+            rows = jnp.stack([cols, jnp.zeros_like(cols)] if pa == 0
+                             else [jnp.zeros_like(cols), cols], axis=2)
+            rows = rows.reshape(5, ho * 2, wo * 2, cin)
+            dP += jnp.pad(
+                rows,
+                ((0, 0), (2 * ra, (h + 2) - 2 * ra - ho * 2),
+                 (2 * cb, (w + 2) - 2 * cb - wo * 2), (0, 0)),
+            )
 
     def place(val, r0, q0):
         """Embed val (5, vh, vw, C) into a zero (5, h, w, C) at (r0, q0)."""
@@ -214,18 +254,21 @@ def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, out_dtype):
     o_ref[0] = dx.astype(out_dtype)
 
 
-def _pallas_dtaps(x, g, subdivisions, corner_mode):
+def _pallas_dtaps(x, g, subdivisions, corner_mode, stride=1):
     B = x.shape[0]
     h, w = ico.chart_shape(subdivisions)
+    ho, wo = h // stride, w // stride
     cin, cout = x.shape[-1], g.shape[-1]
-    kernel = functools.partial(_dtaps_kernel, h=h, w=w, corner_mode=corner_mode)
+    kernel = functools.partial(
+        _dtaps_kernel, h=h, w=w, corner_mode=corner_mode, stride=stride
+    )
     out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5, h, w, cout), lambda b: (b, 0, 0, 0, 0),
+            pl.BlockSpec((1, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((7, cin, cout), lambda b: (0, 0, 0),
@@ -236,18 +279,20 @@ def _pallas_dtaps(x, g, subdivisions, corner_mode):
     return out.astype(x.dtype)
 
 
-def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype):
+def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype, stride=1):
     B = g.shape[0]
     h, w = ico.chart_shape(subdivisions)
+    ho, wo = h // stride, w // stride
     cin, cout = taps.shape[1], g.shape[-1]
     kernel = functools.partial(
-        _dx_kernel, h=h, w=w, corner_mode=corner_mode, out_dtype=out_dtype
+        _dx_kernel, h=h, w=w, corner_mode=corner_mode, stride=stride,
+        out_dtype=out_dtype,
     )
     return pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 5, h, w, cout), lambda b: (b, 0, 0, 0, 0),
+            pl.BlockSpec((1, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -258,25 +303,28 @@ def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype):
     )(g, taps)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_ico_conv_s2s(x, taps, bias, subdivisions, corner_mode="average"):
-    """Drop-in fused stride-1 hex conv: (B,5,h,w,Cin) -> (B,5,h,w,Cout).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_ico_conv_s2s(x, taps, bias, subdivisions, corner_mode="average", stride=1):
+    """Drop-in fused hex conv: (B,5,h,w,Cin) -> (B,5,h/stride,w/stride,Cout).
 
-    bias may be None. Backward = fused Pallas kernels (dtaps accumulated
-    across the batch grid; dx as the exact transpose of the halo pad),
-    verified against the XLA composition's autodiff in tests.
+    bias may be None; stride ∈ {1, 2}. Backward = fused Pallas kernels
+    (dtaps accumulated across the batch grid; dx as the exact transpose of
+    the halo pad), verified against the XLA composition's autodiff in tests.
     """
-    return _pallas_forward(x, taps, bias, subdivisions, corner_mode)
+    return _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride)
 
 
-def _fwd(x, taps, bias, subdivisions, corner_mode):
-    return _pallas_forward(x, taps, bias, subdivisions, corner_mode), (x, taps, bias)
+def _fwd(x, taps, bias, subdivisions, corner_mode, stride):
+    return (
+        _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride),
+        (x, taps, bias),
+    )
 
 
-def _bwd(subdivisions, corner_mode, res, g):
+def _bwd(subdivisions, corner_mode, stride, res, g):
     x, taps, bias = res
-    dx = _pallas_dx(g, taps, subdivisions, corner_mode, x.dtype)
-    dtaps = _pallas_dtaps(x, g, subdivisions, corner_mode)
+    dx = _pallas_dx(g, taps, subdivisions, corner_mode, x.dtype, stride)
+    dtaps = _pallas_dtaps(x, g, subdivisions, corner_mode, stride)
     dbias = None if bias is None else jnp.sum(g, axis=(0, 1, 2, 3)).astype(bias.dtype)
     return dx, dtaps, dbias
 

@@ -33,6 +33,7 @@ __all__ = [
     "checkpoint_path",
     "gc_best_checkpoints",
     "restore_filtered",
+    "merge_checkpoints",
 ]
 
 _EB_RE = re.compile(r"_EB(\d+)\.ckpt$")
@@ -129,3 +130,19 @@ def restore_filtered(target_tree, stored_tree):
     merged = jax.tree_util.tree_map_with_path(merge, target_tree)
     n_leaves = len(jax.tree.leaves(target_tree))
     return merged, matched, n_leaves
+
+
+def merge_checkpoints(target_tree, paths):
+    """Merge the param trees of several checkpoints into one target
+    (reference `loadMultiModel`, run.py:383-409: e.g. an encoder-half and a
+    decoder-half checkpoint restored into one full model). Later paths win
+    on overlapping keys; returns (merged, total_matched, n_target_leaves).
+    """
+    merged = target_tree
+    total = 0
+    n_leaves = len(jax.tree.leaves(target_tree))
+    for p in paths:
+        blob = load_checkpoint(p)
+        merged, matched, _ = restore_filtered(merged, blob.get("params", blob))
+        total += matched
+    return merged, total, n_leaves

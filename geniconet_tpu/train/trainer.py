@@ -16,6 +16,7 @@ finite check on the loss.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from functools import partial
@@ -49,6 +50,11 @@ class TrainState:
 
 def build_model(cfg: Config):
     m = cfg.model
+    use_pallas = m.use_pallas
+    if use_pallas and jax.default_backend() != "tpu":
+        print("[model] use_pallas requested but backend is not TPU; using XLA convs")
+        use_pallas = False
+    m = dataclasses.replace(m, use_pallas=use_pallas)
     dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
     if m.is_vae:
         return IcoVAE(

@@ -45,6 +45,39 @@ def test_no_bias():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("s", [2, 3])
+@pytest.mark.parametrize("corner_mode", ["average", "zeros"])
+def test_stride2_matches_xla(s, corner_mode):
+    h, w = ico.chart_shape(s)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 5, h, w, 4).astype(np.float32))
+    taps = jnp.asarray(rng.randn(7, 4, 6).astype(np.float32))
+    bias = jnp.asarray(rng.randn(6).astype(np.float32))
+    ref = ico_conv_s2s(x, taps, bias, s, stride=2, corner_mode=corner_mode)
+    got = conv_kernel.fused_ico_conv_s2s(x, taps, bias, s, corner_mode, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_stride2_gradients_match_xla():
+    s = 3
+    h, w = ico.chart_shape(s)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, 5, h, w, 3).astype(np.float32))
+    taps = jnp.asarray(rng.randn(7, 3, 4).astype(np.float32))
+    bias = jnp.asarray(rng.randn(4).astype(np.float32))
+
+    def loss_fused(x, t, b):
+        return jnp.sum(conv_kernel.fused_ico_conv_s2s(x, t, b, s, "average", 2) ** 2)
+
+    def loss_ref(x, t, b):
+        return jnp.sum(ico_conv_s2s(x, t, b, s, stride=2) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, taps, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, taps, bias)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
+
 def test_gradients_match_xla():
     s = 2
     h, w = ico.chart_shape(s)
