@@ -34,5 +34,10 @@ if _xb.backends_are_initialized():
 # skip most optimization passes (numerics unaffected at test tolerances)
 jax.config.update("jax_disable_most_optimizations", True)
 
+# persistent compilation cache: repeated suite runs skip recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/geniconet_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
