@@ -71,7 +71,7 @@ class AppState:
             raise FileNotFoundError(f"no EB checkpoint under {ckpt_dir}")
         trainer = Trainer(cfg)
         state = trainer.init_state(self.dataset.inputs[:1], seed=0)
-        state, self.epoch = trainer.restore(
+        state, self.epoch, _ = trainer.restore(
             state, ckpt.checkpoint_path(ckpt_dir, name, epoch, best=True)
         )
         self.model = trainer.model

@@ -67,12 +67,12 @@ def experiment_train(cfg: Config):
 
     trainer = Trainer(cfg, mesh=mesh, logger=logger)
     state = trainer.init_state(trn_ds.inputs[:1], seed=cfg.train.seed)
-    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
-    print(f"[train] optimizable parameters: {n_params}")
+    from geniconet_tpu.train.summary import count_params, model_summary
+
+    print(f"[train] optimizable parameters: {count_params(state.params)}")
 
     # model summary saved at train start (torchsummary parity, run.py:427-430)
     try:
-        from geniconet_tpu.train.summary import model_summary
 
         rngs = {"params": jax.random.key(0)}
         if cfg.model.is_vae:
@@ -85,6 +85,7 @@ def experiment_train(cfg: Config):
         print(f"[train] summary skipped: {e}")
 
     start_epoch = 0
+    best_loss = np.inf
     if cfg.train.load_pretrained_model:
         ckpt_dir = os.path.join(log_dir, "savedModel")
         ep = cfg.train.load_epoch
@@ -96,15 +97,15 @@ def experiment_train(cfg: Config):
             if not os.path.exists(path):
                 path = ckpt.checkpoint_path(ckpt_dir, cfg.model.name, ep, best=True)
         if path and os.path.exists(path):
-            state, start_epoch = trainer.restore(state, path)
-            print(f"[train] resumed from {path} (epoch {start_epoch})")
+            state, start_epoch, best_loss = trainer.restore(state, path)
+            print(f"[train] resumed from {path} (epoch {start_epoch}, best {best_loss:.5f})")
         else:
             print("[train] no checkpoint found to resume; starting fresh")
 
     trn = Batches(trn_ds, cfg.train.batch_size, shuffle=True, sharding=sharding,
                   seed=cfg.train.seed)
     val = Batches(val_ds, cfg.train.batch_size, shuffle=False, sharding=sharding)
-    state, history = trainer.fit(state, trn, val, start_epoch)
+    state, history = trainer.fit(state, trn, val, start_epoch, best_loss)
     logger.close()
     return history
 

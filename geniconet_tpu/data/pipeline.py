@@ -13,18 +13,10 @@ from typing import Iterator, Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from geniconet_tpu.data.datasets import IcoDataset
 
-__all__ = ["Batches", "make_data_sharding", "pad_to_multiple"]
-
-
-def make_data_sharding(mesh: Optional[Mesh]):
-    """Batch-axis sharding over the mesh's 'data' axis (None = single device)."""
-    if mesh is None:
-        return None
-    return NamedSharding(mesh, P("data"))
+__all__ = ["Batches", "pad_to_multiple"]
 
 
 def pad_to_multiple(n: int, m: int) -> int:
@@ -42,8 +34,9 @@ class Batches:
         DataLoader; the tail batch triggers one extra jit specialization that
         is then cached).
       sharding: optional NamedSharding for DP placement. When set, ragged
-        tails are padded up to a divisor of the device count and a weight
-        vector marks real samples.
+        train batches are truncated to a device-count multiple (zero-padding
+        would pollute BatchNorm batch statistics) and ragged eval batches are
+        zero-weight padded.
       seed: shuffle seed.
     """
 
@@ -109,11 +102,23 @@ class Batches:
 
         def make(i):
             idx = order[i * bs : (i + 1) * bs]
+            if len(idx) < bs and self.sharding is not None:
+                if self.shuffle:
+                    # training: truncate the ragged batch to a device-count
+                    # multiple — zero-padding would pollute the BatchNorm
+                    # batch statistics (loss weights cannot mask BN moments)
+                    keep = (len(idx) // self.n_devices) * self.n_devices
+                    if keep == 0:
+                        raise ValueError(
+                            f"dataset slice of {len(idx)} samples cannot feed "
+                            f"{self.n_devices} devices; add data or shrink the mesh"
+                        )
+                    idx = idx[:keep]
             x = self.ds.inputs[idx]
             y = self.ds.targets[idx]
             wt = np.ones(len(idx), np.float32)
-            if len(idx) < bs and self.sharding is not None:
-                # zero-weight-pad a ragged batch so it divides the device count
+            if len(idx) < bs and self.sharding is not None and not self.shuffle:
+                # eval: zero-weight padding is safe (BN stats frozen)
                 target = pad_to_multiple(len(idx), self.n_devices)
                 pad = target - len(idx)
                 if pad:

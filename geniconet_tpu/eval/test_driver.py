@@ -83,7 +83,7 @@ def run_test(cfg: Config, dataset: IcoDataset, write_meshes: bool = True):
 
     trainer = Trainer(cfg)
     state = trainer.init_state(dataset.inputs[:1], seed=cfg.train.seed)
-    state, epoch = trainer.restore(state, path)
+    state, epoch, _ = trainer.restore(state, path)
     print(f"[test] loaded {path} (epoch {epoch})")
 
     model = trainer.model

@@ -9,12 +9,19 @@ always fits), builds the padded array in a VMEM scratch with the exact
 ``(5·h·w, C_in) × (C_in, C_out)`` matmuls with fp32 accumulation on the MXU.
 
 Autodiff: `fused_ico_conv_s2s` carries a ``jax.custom_vjp`` whose backward
-is the VJP of the *reference XLA composition* (identical math), so training
-uses the fused forward while gradients stay provably equivalent; dedicated
-backward kernels can replace it later without touching callers.
+is ALSO fused Pallas kernels — ``_dtaps_kernel`` (tap gradients accumulated
+across the batch grid) and ``_dx_kernel`` (the exact linear transpose of the
+halo pad + tap contraction) — verified against the XLA composition's
+autodiff in tests/test_pallas_conv.py.
 
-Only stride 1 is fused (stride-2 convs are the cheap minority and keep the
-XLA path).
+Only stride 1 is routed through the fused path by default. The stride-2
+kernels below are numerically verified but their parity-split windows
+(sublane-dimension reshapes) trigger multi-minute Mosaic compiles on the
+current toolchain, so stride-2 convs keep the shared-pad XLA route. The same
+Mosaic limitation rules out a naive fused upsample+conv kernel (interleaving
+the four upsample phases is a sublane reshape; measured 62 s compile for a
+tiny shape) — a phase-domain formulation that never interleaves is the
+round-2 path to fusing UpBlocks.
 """
 
 from __future__ import annotations

@@ -79,9 +79,10 @@ def latest_best_epoch(ckpt_dir: str, model_name: str):
     return max(best) if best else None
 
 
-def gc_best_checkpoints(ckpt_dir: str, model_name: str, keep: int = 5):
-    """Keep the newest `keep` EB checkpoints plus the oldest one
-    (reference run.py:317-328 keeps last 5 + 1)."""
+def gc_best_checkpoints(ckpt_dir: str, model_name: str, keep: int = 6):
+    """Keep the newest `keep` EB checkpoints. Called after saving a new best,
+    this matches the reference exactly (run.py:317-328: delete all but the
+    newest 5 existing EB files, then save the new one — i.e. 6 newest)."""
     if not os.path.isdir(ckpt_dir):
         return
     epochs = []
@@ -91,15 +92,11 @@ def gc_best_checkpoints(ckpt_dir: str, model_name: str, keep: int = 5):
             if m:
                 epochs.append(int(m.group(1)))
     epochs.sort()
-    if len(epochs) <= keep + 1:
-        return
-    protected = {epochs[0], *epochs[-keep:]}
-    for e in epochs:
-        if e not in protected:
-            try:
-                os.remove(checkpoint_path(ckpt_dir, model_name, e, best=True))
-            except OSError:
-                pass
+    for e in epochs[:-keep]:
+        try:
+            os.remove(checkpoint_path(ckpt_dir, model_name, e, best=True))
+        except OSError:
+            pass
 
 
 def restore_filtered(target_tree, stored_tree):

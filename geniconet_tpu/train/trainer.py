@@ -96,9 +96,19 @@ class Trainer:
         self.s = cfg.model.subdivisions
         self.factors = cfg.loss_factors
         self.is_vae = cfg.model.is_vae
-        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._jit_train_step = jax.jit(
+            partial(self._train_step, with_gflow=False), donate_argnums=(0,)
+        )
+        # separate specialization that also materializes per-layer grad norms
+        # — dispatched only on grad-flow logging steps so the hot path never
+        # pays for them (reference builds its grad-flow artifact only on log
+        # iterations, run.py:264-267)
+        self._jit_train_step_gflow = jax.jit(
+            partial(self._train_step, with_gflow=True), donate_argnums=(0,)
+        )
         self._jit_eval_step = jax.jit(self._eval_step)
         self.last_misc = None  # VAE: last batch's (mu, logvar), run.py:274-277
+        self._host_step = 0    # host-side step mirror for logging cadence
 
     # ------------------------------------------------------------------
     # state
@@ -156,7 +166,7 @@ class Trainer:
         metrics["total"] = loss
         return loss, aux
 
-    def _train_step(self, state: TrainState, x, y, wt, epoch):
+    def _train_step(self, state: TrainState, x, y, wt, epoch, with_gflow=False):
         rng = jax.random.fold_in(state.rng, state.step)
         (loss, (new_bstats, metrics, misc)), grads = jax.value_and_grad(
             self._loss, has_aux=True
@@ -166,7 +176,7 @@ class Trainer:
         metrics["lr"] = self.lr_fn(state.step)
         metrics["finite"] = jnp.isfinite(loss)
         metrics["grad_norm"] = optax.global_norm(grads)
-        if self.cfg.train.log_grad_freq:
+        if with_gflow:
             # per-layer grad norms (grad-flow surface, reference run.py:264-267)
             flat = jax.tree_util.tree_flatten_with_path(grads)[0]
             gflow = {}
@@ -202,22 +212,32 @@ class Trainer:
         last_metrics = None
         gf_freq = self.cfg.train.log_grad_freq
         for i, (x, y, wt) in enumerate(batches.epoch()):
-            state, metrics, misc, gflow = self._jit_train_step(state, x, y, wt, epoch)
+            want_gflow = (
+                self.logger is not None
+                and gf_freq
+                and self._host_step % gf_freq == 0
+            )
+            step_fn = self._jit_train_step_gflow if want_gflow else self._jit_train_step
+            state, metrics, misc, gflow = step_fn(state, x, y, wt, epoch)
+            self._host_step += 1
             n += 1
             if self.is_vae and misc is not None:
                 self.last_misc = misc
-            if self.logger is not None and i % log_freq == 0:
+            if i % log_freq == 0:
+                # periodic hard sync doubles as the NaN guard (works with or
+                # without a logger; detect_anomaly parity, run.py:237)
                 host = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 last_metrics = host
                 if not host.get("finite", 1.0):
                     raise FloatingPointError(
                         f"non-finite loss at epoch {epoch} iter {i}: {host}"
                     )
-                gstep = int(jax.device_get(state.step))
-                self.logger.scalars("trn", host, gstep)
-                if gf_freq and gstep % gf_freq < log_freq and gflow:
-                    gf_host = {k: float(v) for k, v in jax.device_get(gflow).items()}
-                    self.logger.scalars("grad_flow", gf_host, gstep)
+                if self.logger is not None:
+                    gstep = int(jax.device_get(state.step))
+                    self.logger.scalars("trn", host, gstep)
+            if want_gflow and self.logger is not None and gflow:
+                gf_host = {k: float(v) for k, v in jax.device_get(gflow).items()}
+                self.logger.scalars("grad_flow", gf_host, int(jax.device_get(state.step)))
         dt = time.perf_counter() - t0
         if self.cfg.train.debug_timing:
             per = dt / max(n, 1)
@@ -242,11 +262,11 @@ class Trainer:
     # full experiment (reference experiment_train, run.py:412-497)
     # ------------------------------------------------------------------
 
-    def fit(self, state: TrainState, trn: Batches, val: Batches, start_epoch: int = 0):
+    def fit(self, state: TrainState, trn: Batches, val: Batches,
+            start_epoch: int = 0, best_loss: float = np.inf):
         cfg = self.cfg
         name = cfg.model.name
         ckpt_dir = os.path.join(cfg.model_log_dir(), "savedModel")
-        best_loss = np.inf
         history = []
         for epoch in range(start_epoch, cfg.train.train_epoch):
             if (
@@ -272,10 +292,12 @@ class Trainer:
             state, info = self.train_epoch(state, trn, epoch)
             if cfg.train.profile_dir and epoch == start_epoch + 1:
                 jax.profiler.stop_trace()
-            avg = self.validate(state, val, epoch + 1)
+            # validate with the SAME KL factor the epoch trained with — the
+            # reference decays the factor only after validation (run.py:486-493)
+            avg = self.validate(state, val, epoch)
             cur = avg.get("total", np.inf)
             history.append(cur)
-            if cur < best_loss:
+            if cur <= best_loss:  # reference saves on ties too (run.py:318)
                 best_loss = cur
                 self._save(state, ckpt_dir, name, epoch + 1, cur, best=True)
                 ckpt.gc_best_checkpoints(ckpt_dir, name)
@@ -306,7 +328,11 @@ class Trainer:
         ckpt.save_checkpoint(ckpt.checkpoint_path(ckpt_dir, name, epoch, best), blob)
 
     def restore(self, state: TrainState, path: str):
-        """Restore a checkpoint into a fresh state; returns (state, epoch)."""
+        """Restore a checkpoint into a fresh state.
+
+        Returns (state, epoch, best_loss) — best_loss feeds fit() so a
+        resumed run does not overwrite the true best checkpoint (reference
+        loadModel restores last_best_loss, run.py:374-376)."""
         blob = ckpt.load_checkpoint(path)
         params = flax.serialization.from_state_dict(
             jax.device_get(state.params), blob["params"]
@@ -324,7 +350,9 @@ class Trainer:
             step=jnp.asarray(blob["step"], jnp.int32),
             rng=state.rng,
         )
-        return mesh_lib.replicate(new, self.mesh), int(blob["epoch"])
+        self._host_step = int(blob["step"])
+        best = float(blob.get("loss", np.inf))
+        return mesh_lib.replicate(new, self.mesh), int(blob["epoch"]), best
 
     # ------------------------------------------------------------------
 

@@ -93,8 +93,9 @@ def test_resume_roundtrip(tmp_path):
     path = ckpt.checkpoint_path(ckpt_dir, cfg.model.name, 2, best=False)
     trainer2 = Trainer(cfg)
     state2 = trainer2.init_state(ds.inputs[:1], seed=7)
-    state2, epoch = trainer2.restore(state2, path)
+    state2, epoch, best_loss = trainer2.restore(state2, path)
     assert epoch == 2
+    assert np.isfinite(best_loss)
     assert int(jax.device_get(state2.step)) == step_before
     # params restored identically
     p1 = jax.device_get(state.params)
