@@ -89,6 +89,22 @@ def _build_padded(x, h, w, corner_mode):
     return jnp.concatenate([top, mid, bottom], axis=1)
 
 
+def _choose_k(B, h, w, cin, cout, itemsize):
+    """Samples per grid program: batch small grids so each matmul has
+    >=~8k rows (MXU utilization at coarse subdivisions — measured 1.5-2.2x
+    on s<=4 layers), bounded by a VMEM budget and divisibility of B."""
+    target_rows = 8192
+    k_rows = max(1, target_rows // (5 * h * w))
+    # rough VMEM bound: input + padded + output + fp32 acc per sample
+    per_sample = 5 * h * w * (cin + cout) * itemsize * 3 + 5 * h * w * cout * 4
+    k_mem = max(1, (10 * 1024 * 1024) // max(per_sample, 1))
+    k_cap = min(k_rows, k_mem, B)
+    for k in range(k_cap, 0, -1):
+        if B % k == 0:
+            return k
+    return 1
+
+
 def _tap_slice(P, h, w, di, dj, stride):
     """Tap-shifted window of the padded array, optionally stride-2.
 
@@ -99,26 +115,34 @@ def _tap_slice(P, h, w, di, dj, stride):
     """
     if stride == 1:
         return P[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w, :]
-    C = P.shape[-1]
+    n, C = P.shape[0], P.shape[-1]
     a0, b0 = 2 + di, 1 + dj
     ra, pa = a0 // 2, a0 % 2
     cb, pb = b0 // 2, b0 % 2
-    Pr = P.reshape(5, (h + 2) // 2, 2, (w + 2) // 2, 2, C)
+    Pr = P.reshape(n, (h + 2) // 2, 2, (w + 2) // 2, 2, C)
     return Pr[:, ra : ra + h // 2, pa, cb : cb + w // 2, pb, :]
 
 
-def _kernel(x_ref, w_ref, b_ref, o_ref, *, h, w, corner_mode, stride, out_dtype):
-    x = x_ref[0]  # (5, h, w, Cin)
-    P = _build_padded(x, h, w, corner_mode)
-    cin = x.shape[-1]
+def _kernel(x_ref, w_ref, b_ref, o_ref, *, h, w, corner_mode, stride, k, out_dtype):
+    # k samples per program: per-sample halos concatenated along the chart
+    # axis (slicing is row-independent, so tap windows apply unchanged)
+    P = jnp.concatenate(
+        [_build_padded(x_ref[i], h, w, corner_mode) for i in range(k)], axis=0
+    )  # (k*5, h+2, w+2, Cin)
+    cin = x_ref.shape[-1]
     cout = w_ref.shape[-1]
     ho, wo = h // stride, w // stride
-    acc = jnp.zeros((5 * ho * wo, cout), jnp.float32)
+    rows = k * 5 * ho * wo
+    # seven shifted matmuls accumulated in fp32. (An im2col variant — one
+    # (N, 7*Cin) x (7*Cin, Cout) matmul — was measured slower on balance:
+    # the lane-dim concat costs more than the larger K saves, e.g. 3x
+    # regression at s=4/C=128 bf16.)
+    acc = jnp.zeros((rows, cout), jnp.float32)
     for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
-        sl = _tap_slice(P, h, w, di, dj, stride).reshape(5 * ho * wo, cin)
+        sl = _tap_slice(P, h, w, di, dj, stride).reshape(rows, cin)
         acc += jnp.dot(sl, w_ref[t], preferred_element_type=jnp.float32)
     acc += b_ref[0].astype(jnp.float32)
-    o_ref[0] = acc.reshape(5, ho, wo, cout).astype(out_dtype)
+    o_ref[...] = acc.reshape(k, 5, ho, wo, cout).astype(out_dtype)
 
 
 def _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride=1):
@@ -129,20 +153,22 @@ def _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride=1):
     cout = taps.shape[-1]
     if bias is None:
         bias = jnp.zeros((cout,), x.dtype)
+    k = _choose_k(B, h, w, cin, cout, x.dtype.itemsize)
     kernel = functools.partial(
-        _kernel, h=h, w=w, corner_mode=corner_mode, stride=stride, out_dtype=x.dtype
+        _kernel, h=h, w=w, corner_mode=corner_mode, stride=stride, k=k,
+        out_dtype=x.dtype,
     )
     flops = 2 * B * 5 * ho * wo * 7 * cin * cout
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // k,),
         in_specs=[
-            pl.BlockSpec((1, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
+            pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec((k, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 5, ho, wo, cout), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -163,7 +189,7 @@ def _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride=1):
 # ---------------------------------------------------------------------------
 
 
-def _dtaps_kernel(x_ref, g_ref, o_ref, *, h, w, corner_mode, stride):
+def _dtaps_kernel(x_ref, g_ref, o_ref, *, h, w, corner_mode, stride, k):
     """dL/dtaps[t] = P_slice(t)^T · g, accumulated across the batch grid."""
     b = pl.program_id(0)
 
@@ -171,13 +197,15 @@ def _dtaps_kernel(x_ref, g_ref, o_ref, *, h, w, corner_mode, stride):
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    x = x_ref[0]
     ho, wo = h // stride, w // stride
-    g = g_ref[0].reshape(5 * ho * wo, g_ref.shape[-1]).astype(jnp.float32)
-    P = _build_padded(x, h, w, corner_mode)
-    cin = x.shape[-1]
+    rows = k * 5 * ho * wo
+    g = g_ref[...].reshape(rows, g_ref.shape[-1]).astype(jnp.float32)
+    P = jnp.concatenate(
+        [_build_padded(x_ref[i], h, w, corner_mode) for i in range(k)], axis=0
+    )
+    cin = x_ref.shape[-1]
     for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
-        sl = _tap_slice(P, h, w, di, dj, stride).reshape(5 * ho * wo, cin)
+        sl = _tap_slice(P, h, w, di, dj, stride).reshape(rows, cin)
         o_ref[t] += jax.lax.dot_general(
             sl.astype(jnp.float32), g,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -185,41 +213,43 @@ def _dtaps_kernel(x_ref, g_ref, o_ref, *, h, w, corner_mode, stride):
         )
 
 
-def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, stride, out_dtype):
+def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, stride, k, out_dtype):
     """dx = padᵀ(convᵀ(g)): build dP = Σ_t slice_t ← g·W_tᵀ, then accumulate
     every pad-source position back (the exact transpose of `_build_padded`,
-    which is stride-independent)."""
-    g = g_ref[0]
-    cout = g.shape[-1]
+    which is stride-independent). Processes k samples per program (the dP
+    construction and pad-transpose are per-chart-row local, so the k·5 chart
+    axis passes through unchanged except the pole sums, done per sample)."""
+    cout = g_ref.shape[-1]
     cin = w_ref.shape[1]
     ho, wo = h // stride, w // stride
-    gm = g.reshape(5 * ho * wo, cout).astype(jnp.float32)
+    gm = g_ref[...].reshape(k * 5 * ho * wo, cout).astype(jnp.float32)
 
     # dP = Σ_t place(g·W_tᵀ at slice_t); static jnp.pad placement — Mosaic
     # has no dynamic_slice/scatter lowering at value level
-    dP = jnp.zeros((5, h + 2, w + 2, cin), jnp.float32)
+    n = k * 5
+    dP = jnp.zeros((n, h + 2, w + 2, cin), jnp.float32)
     for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
         contrib = jax.lax.dot_general(
             gm, w_ref[t].astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(5, ho, wo, cin)
+        ).reshape(n, ho, wo, cin)
         if stride == 1:
             dP += jnp.pad(
                 contrib,
                 ((0, 0), (1 + di, 1 - di), (1 + dj, 1 - dj), (0, 0)),
             )
         else:
-            # scatter to strided positions a0+2k, b0+2k via parity interleave
+            # scatter to strided positions a0+2m, b0+2m via parity interleave
             a0, b0 = 2 + di, 1 + dj
             ra, pa = a0 // 2, a0 % 2
             cb, pb = b0 // 2, b0 % 2
             z = jnp.zeros_like(contrib)
             cols = jnp.stack([contrib, z] if pb == 0 else [z, contrib], axis=3)
-            cols = cols.reshape(5, ho, wo * 2, cin)
+            cols = cols.reshape(n, ho, wo * 2, cin)
             rows = jnp.stack([cols, jnp.zeros_like(cols)] if pa == 0
                              else [jnp.zeros_like(cols), cols], axis=2)
-            rows = rows.reshape(5, ho * 2, wo * 2, cin)
+            rows = rows.reshape(n, ho * 2, wo * 2, cin)
             dP += jnp.pad(
                 rows,
                 ((0, 0), (2 * ra, (h + 2) - 2 * ra - ho * 2),
@@ -227,15 +257,21 @@ def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, stride, out_dtype):
             )
 
     def place(val, r0, q0):
-        """Embed val (5, vh, vw, C) into a zero (5, h, w, C) at (r0, q0)."""
+        """Embed val (n, vh, vw, C) into a zero (n, h, w, C) at (r0, q0)."""
         vh, vw = val.shape[1], val.shape[2]
         return jnp.pad(val, ((0, 0), (r0, h - r0 - vh), (q0, w - q0 - vw), (0, 0)))
 
+    def roll_chart(A, shift):
+        """A[c] -> A[(c+shift) mod 5] within each sample's 5-chart group."""
+        A5 = A.reshape(k, 5, *A.shape[1:])
+        rolled = jnp.concatenate([A5[:, shift:], A5[:, :shift]], axis=1)
+        return rolled.reshape(A.shape)
+
     # interior
     dx = dP[:, 1 : h + 1, 1 : w + 1, :]
-    # chart-rolled views: dPm1[c] = dP[c-1], dPp1[c] = dP[c+1]
-    dPm1 = jnp.concatenate([dP[4:], dP[:4]], axis=0)
-    dPp1 = jnp.concatenate([dP[1:], dP[:1]], axis=0)
+    # chart-rolled views within each sample: dPm1[c] = dP[c-1], dPp1[c] = dP[c+1]
+    dPm1 = roll_chart(dP, 4)
+    dPp1 = roll_chart(dP, 1)
     swap = lambda a: jnp.swapaxes(a, 1, 2)
     # transpose of: P[c,0,2:h+2]    = x[c+1, 0:h, 0]
     dx += place(swap(dPm1[:, 0:1, 2 : h + 2, :]), 0, 0)
@@ -251,14 +287,17 @@ def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, stride, out_dtype):
     dx += place(swap(dPm1[:, 1:h, w + 1 : w + 2, :]), h - 1, h + 1)
     if corner_mode == "average":
         # transpose of pole synthesis: every chart's pole cell feeds back
-        # 1/5 of the summed pole-position cotangents (unrolled — Mosaic
-        # cannot reduce over a sublane-offset dim)
+        # 1/5 of the per-sample summed pole-position cotangents (unrolled —
+        # Mosaic cannot reduce over a sublane-offset dim)
         fifth = jnp.asarray(0.2, jnp.float32)
-        dpn = sum(dP[c, 0:1, 1:2, :] for c in range(5)) * fifth  # (1,1,C)
-        dps = sum(dP[c, h : h + 1, w + 1 : w + 2, :] for c in range(5)) * fifth
-        dx += place(jnp.broadcast_to(dpn[None], (5, 1, 1, cin)), 0, 0)
-        dx += place(jnp.broadcast_to(dps[None], (5, 1, 1, cin)), h - 1, w - 1)
-    o_ref[0] = dx.astype(out_dtype)
+        dP5 = dP.reshape(k, 5, h + 2, w + 2, cin)
+        dpn = sum(dP5[:, c, 0:1, 1:2, :] for c in range(5)) * fifth  # (k,1,1,C)
+        dps = sum(dP5[:, c, h : h + 1, w + 1 : w + 2, :] for c in range(5)) * fifth
+        dpn = jnp.broadcast_to(dpn[:, None], (k, 5, 1, 1, cin)).reshape(n, 1, 1, cin)
+        dps = jnp.broadcast_to(dps[:, None], (k, 5, 1, 1, cin)).reshape(n, 1, 1, cin)
+        dx += place(dpn, 0, 0)
+        dx += place(dps, h - 1, w - 1)
+    o_ref[...] = dx.reshape(k, 5, h, w, cin).astype(out_dtype)
 
 
 def _pallas_dtaps(x, g, subdivisions, corner_mode, stride=1):
@@ -266,16 +305,17 @@ def _pallas_dtaps(x, g, subdivisions, corner_mode, stride=1):
     h, w = ico.chart_shape(subdivisions)
     ho, wo = h // stride, w // stride
     cin, cout = x.shape[-1], g.shape[-1]
+    k = _choose_k(B, h, w, cin, cout, x.dtype.itemsize)
     kernel = functools.partial(
-        _dtaps_kernel, h=h, w=w, corner_mode=corner_mode, stride=stride
+        _dtaps_kernel, h=h, w=w, corner_mode=corner_mode, stride=stride, k=k
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // k,),
         in_specs=[
-            pl.BlockSpec((1, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
+            pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
+            pl.BlockSpec((k, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((7, cin, cout), lambda b: (0, 0, 0),
@@ -291,19 +331,20 @@ def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype, stride=1):
     h, w = ico.chart_shape(subdivisions)
     ho, wo = h // stride, w // stride
     cin, cout = taps.shape[1], g.shape[-1]
+    k = _choose_k(B, h, w, cin, cout, g.dtype.itemsize)
     kernel = functools.partial(
-        _dx_kernel, h=h, w=w, corner_mode=corner_mode, stride=stride,
+        _dx_kernel, h=h, w=w, corner_mode=corner_mode, stride=stride, k=k,
         out_dtype=out_dtype,
     )
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // k,),
         in_specs=[
-            pl.BlockSpec((1, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
+            pl.BlockSpec((k, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 5, h, w, cin), out_dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
