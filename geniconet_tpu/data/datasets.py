@@ -86,6 +86,44 @@ def load_ico_npz(path: str, subdivisions: int):
     return np.ascontiguousarray(grid), np.ascontiguousarray(data.T)
 
 
+def load_ico_mat(path: str, subdivisions: int):
+    """Load a ``.mat`` ico grid sample (reference data.py:47-58 semantics).
+
+    The mat carries ``variable`` of shape (H, W, C); channels 0:3 are
+    0-255-scaled positions (divided by 255 here). Returns the same
+    (grid (H, W, 3), target (V, 9)) contract as `load_ico_npz`, with the
+    normals/Laplacian target rows computed from the loaded positions.
+    """
+    from scipy.io import loadmat
+
+    from geniconet_tpu.ops.mesh_math import laplacian_numpy, vertex_normals_numpy
+    from geniconet_tpu.ops.vertices import grid_to_vertices
+
+    md = loadmat(path)
+    if "sparse_weights" in md:
+        raise ValueError(
+            f"{path}: sampling-weight .mat files are preprocessing inputs — "
+            "use geniconet_tpu.data.generate"
+        )
+    if "variable" not in md:
+        raise ValueError(f"{path}: unhandleable .mat contents")
+    arr = np.asarray(md["variable"], np.float32)  # (H, W, C)
+    H, W = ico.grid_shape(subdivisions)
+    if arr.shape[:2] != (H, W):
+        raise ValueError(f"{path}: expected ({H}, {W}, C), got {arr.shape}")
+    grid = np.ascontiguousarray(arr[:, :, :3] / 255.0)
+    if np.isnan(grid).any():
+        raise ValueError(f"{path}: NaNs in the data")
+    import jax.numpy as jnp
+
+    v = np.asarray(grid_to_vertices(jnp.asarray(grid[None]), subdivisions))[0]
+    faces = ico.get_ico_faces(subdivisions)
+    target = np.concatenate(
+        [v, vertex_normals_numpy(v, faces), laplacian_numpy(v, faces)], axis=1
+    ).astype(np.float32)
+    return grid, np.ascontiguousarray(target)
+
+
 def save_ico_npz(path: str, pos: np.ndarray, nor: np.ndarray, lap: np.ndarray):
     """Write the (9, V) 'data' npz the loader expects (generate.py:200-203)."""
     data = np.concatenate([pos, nor, lap], axis=1).astype(np.float32)  # (V, 9)
@@ -130,8 +168,9 @@ class IcoDataset:
         inputs = np.empty((len(files), H, W, 3), np.float32)
         targets = np.empty((len(files), V, 9), np.float32)
         names, classes = [], []
+        loader = load_ico_mat if ext == ".mat" else load_ico_npz
         for k, f in enumerate(files):
-            inputs[k], targets[k] = load_ico_npz(f, subdivisions)
+            inputs[k], targets[k] = loader(f, subdivisions)
             names.append(os.path.splitext(os.path.basename(f))[0])
             cls = os.path.basename(os.path.dirname(os.path.dirname(f))) if level == 2 else ""
             classes.append(cls)

@@ -39,7 +39,20 @@ import jax.numpy as jnp
 from geniconet_tpu.nn.layers import DownBlock, IcoBatchNorm, IcoConvS2S, UpBlock
 from geniconet_tpu.ops.conv import merge_charts, split_charts
 
-__all__ = ["IcoAE", "IcoVAE", "reparameterize"]
+__all__ = ["IcoAE", "IcoVAE", "IcoIdentity", "reparameterize"]
+
+
+class IcoIdentity(nn.Module):
+    """Debug model: output == input plus a zero-effect parameter, so the
+    training loop's gradient machinery can be exercised with a known-identity
+    forward (reference `Identity`, models.py:64-73)."""
+
+    subdivisions: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        W = self.param("W", nn.initializers.normal(1.0), (1, *x.shape[1:]))
+        return x + (W - W)  # zero contribution, zero gradient — like x+cat(W)-cat(W)
 
 
 def reparameterize(rng: jax.Array, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:

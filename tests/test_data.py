@@ -130,3 +130,50 @@ def test_off_roundtrip(tmp_path):
     v2, f2 = offio.read_off(p)
     np.testing.assert_allclose(v2, v, rtol=1e-6)
     np.testing.assert_array_equal(f2, f)
+
+
+def test_mat_ico_loader(tmp_path):
+    """.mat ico grids load with the reference's /255 scaling (data.py:47-58)."""
+    pytest.importorskip("scipy")
+    from scipy.io import savemat
+
+    from geniconet_tpu.data.datasets import load_ico_mat
+
+    s = 2
+    H, W = ico.grid_shape(s)
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(H, W, 6) * 255).astype(np.float64)
+    p = str(tmp_path / "sample_1.mat")
+    savemat(p, {"variable": arr})
+    grid, target = load_ico_mat(p, s)
+    np.testing.assert_allclose(grid, arr[:, :, :3] / 255.0, rtol=1e-6)
+    assert target.shape == (ico.num_vertices(s), 9)
+    # target normals are consistent with the loaded positions
+    from geniconet_tpu.ops import mesh_math
+
+    np.testing.assert_allclose(
+        target[:, 3:6],
+        mesh_math.vertex_normals_numpy(target[:, :3], ico.get_ico_faces(s)),
+        atol=1e-5,
+    )
+
+    # sampling-weight mats are rejected with guidance
+    savemat(str(tmp_path / "w_1.mat"), {"sparse_weights": np.ones((3, 1))})
+    with pytest.raises(ValueError, match="generate"):
+        load_ico_mat(str(tmp_path / "w_1.mat"), s)
+
+
+def test_ico_identity_model():
+    import jax
+    import jax.numpy as jnp
+
+    from geniconet_tpu.nn.models import IcoIdentity
+
+    s = 2
+    H, W = ico.grid_shape(s)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, H, W, 3).astype(np.float32))
+    m = IcoIdentity(subdivisions=s)
+    vs = m.init({"params": jax.random.key(0)}, x)
+    np.testing.assert_array_equal(np.asarray(m.apply(vs, x)), np.asarray(x))
+    g = jax.grad(lambda p: jnp.sum(m.apply({"params": p}, x) ** 2))(vs["params"])
+    np.testing.assert_array_equal(np.asarray(g["W"]), 0.0)
