@@ -101,6 +101,20 @@ def handle_api(path: str, body: dict) -> dict:
     if path == "/api/patch_combine":
         v = st.patch_combine(int(body["i"]), int(body["j"]), list(body["patches"]))
         return _mesh_payload(v, faces, st.colorize(v, "patch"))
+    if path == "/api/decode":
+        # programmatic batched decode: {"z": nested list (N, Hz, Wz, C)} or
+        # {"indices": [...]} to decode cached dataset latents
+        if "indices" in body:
+            zs = st.latents[np.asarray(body["indices"], np.int64)]
+        else:
+            zs = np.asarray(body["z"], np.float32)
+            if zs.ndim == 3:
+                zs = zs[None]
+        vs = st.decode_batch(zs)
+        return {
+            "vertices": vs.round(5).tolist(),
+            "faces": faces.ravel().tolist(),
+        }
     if path == "/api/pca":
         return st.pca_scatter()
     if path == "/api/pca_decode":

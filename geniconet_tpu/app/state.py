@@ -126,6 +126,11 @@ class AppState:
         v = self._decode_fn(jnp.asarray(z[None]))
         return np.asarray(v)[0]
 
+    def decode_batch(self, zs: np.ndarray) -> np.ndarray:
+        """(N, Hz, Wz, C) latents -> (N, V, 3) in one batched TPU inference
+        (the app generative path as batched inference, BASELINE configs[3])."""
+        return np.asarray(self._decode_fn(jnp.asarray(zs)))
+
     def interpolate(self, i: int, j: int, t: float) -> np.ndarray:
         z = (1.0 - t) * self.latents[i] + t * self.latents[j]
         return self.decode_latent(z)
@@ -195,8 +200,14 @@ class AppState:
 
         self.kdtree = KDTree(self.pca_points)
 
+    def _pca_cache_path(self):
+        """On-disk PCA cache like the reference's pca.pkl (app.py:255-279)."""
+        if self.cfg is None:
+            return None
+        return os.path.join(self.cfg.model_log_dir(), "pca.pkl")
+
     def pca_scatter(self):
-        self.fit_pca()
+        self.fit_pca(self._pca_cache_path())
         return {
             "points": self.pca_points.tolist(),
             "classes": self.dataset.classes,

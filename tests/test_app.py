@@ -131,6 +131,9 @@ def test_http_server_endpoints(trained_log):
         assert len(pca["points"]) == 8
         a = post("/api/arithmetic", {"terms": [{"op": "+", "i": 0}, {"op": "-", "i": 1}]})
         assert "nearest" in a
+        # batched programmatic decode of cached latents
+        d = post("/api/decode", {"indices": [0, 1, 2]})
+        assert len(d["vertices"]) == 3 and len(d["vertices"][0]) == V
         # index page served
         html = urllib.request.urlopen(f"http://127.0.0.1:{port}/").read()
         assert b"GenIcoNet-TPU Explorer" in html
