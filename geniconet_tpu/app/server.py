@@ -148,6 +148,12 @@ class Handler(BaseHTTPRequestHandler):
     def _send(self, code: int, content: bytes, ctype: str):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
+        # mesh payloads are ~MB of JSON — gzip when the client accepts it
+        if len(content) > 16384 and "gzip" in self.headers.get("Accept-Encoding", ""):
+            import gzip
+
+            content = gzip.compress(content, compresslevel=4)
+            self.send_header("Content-Encoding", "gzip")
         self.send_header("Content-Length", str(len(content)))
         self.end_headers()
         self.wfile.write(content)

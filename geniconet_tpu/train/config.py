@@ -143,6 +143,10 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N synthetic meshes instead of --dataDir")
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"], default=None)
+    p.add_argument("--widths", type=int, nargs=3, default=None,
+                   metavar=("W0", "W1", "W2"),
+                   help="encoder/decoder stage widths (default 64 128 256)")
+    p.add_argument("--latent_features", type=int, default=None)
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--no_data_parallel", action="store_true")
     p.add_argument("--debug_nans", action="store_true")
@@ -180,5 +184,9 @@ def parse_args(argv=None) -> Config:
     cfg.train.data_parallel = not a.no_data_parallel
     if a.compute_dtype:
         cfg.model.compute_dtype = a.compute_dtype
+    if a.widths:
+        cfg.model.widths = tuple(a.widths)
+    if a.latent_features:
+        cfg.model.latent_features = a.latent_features
     cfg.model.use_pallas = a.use_pallas
     return cfg
