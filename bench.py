@@ -47,6 +47,9 @@ def build():
 
 
 def main():
+    from geniconet_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
     print(f"devices: {jax.devices()}", file=sys.stderr)
     trainer, state, (x, y, wt) = build()
 

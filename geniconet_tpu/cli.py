@@ -157,6 +157,9 @@ def experiment_test(cfg: Config):
 
 
 def main(argv=None):
+    from geniconet_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = parse_args(argv)
     if cfg.process == "train":
         experiment_train(cfg)

@@ -71,10 +71,18 @@ class IcoConvS2S(nn.Module):
         # fused path: stride-1 only. The stride-2 kernel exists and is
         # numerically verified (tests/test_pallas_conv.py) but its parity
         # reshape sends Mosaic into multi-minute compiles, so stride-2
-        # stays on the shared-pad XLA path until that is fixed.
-        if self.use_pallas and self.stride == 1 and not is_padded:
-            from geniconet_tpu.ops.pallas.conv_kernel import fused_ico_conv_s2s
+        # stays on the shared-pad XLA path until that is fixed. Very large
+        # blocks (s>=6 with wide channels) exceed scoped VMEM and also fall
+        # back to XLA.
+        from geniconet_tpu.ops.pallas.conv_kernel import fused_ico_conv_s2s, fused_vmem_ok
 
+        if (
+            self.use_pallas
+            and self.stride == 1
+            and not is_padded
+            and fused_vmem_ok(self.subdivisions, cin, self.features,
+                              jnp.dtype(self.dtype).itemsize)
+        ):
             return fused_ico_conv_s2s(
                 x, taps, bias.astype(self.dtype) if bias is not None else None,
                 self.subdivisions, self.corner_mode, self.stride,

@@ -37,7 +37,23 @@ from geniconet_tpu.geometry import ico
 from geniconet_tpu.ops.conv import HEX_TAP_OFFSETS, ico_conv_s2s
 from geniconet_tpu.ops.pad import ico_pad
 
-__all__ = ["fused_ico_conv_s2s"]
+__all__ = ["fused_ico_conv_s2s", "fused_vmem_ok"]
+
+
+def fused_vmem_ok(subdivisions: int, cin: int, cout: int, itemsize: int) -> bool:
+    """Whether one sample's kernel working set fits the scoped-VMEM budget.
+
+    The peak is the dx backward kernel: Mosaic materializes the 7
+    per-tap contributions, dP, and the pad-transpose temporaries, all in
+    fp32 — roughly 15 buffers of 5·h·w·C·4 bytes. At s=6 even 64-channel
+    layers exceed the 100 MB scoped limit (measured 111 MB). Callers fall
+    back to the XLA path when this returns False.
+    """
+    del itemsize  # the fp32 backward temporaries dominate regardless
+    h, w = ico.chart_shape(subdivisions)
+    c = max(cin, cout)
+    est = 15 * 5 * h * w * c * 4
+    return est < 90 * 1024 * 1024
 
 
 def _build_padded(x, h, w, corner_mode):
