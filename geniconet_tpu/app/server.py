@@ -84,7 +84,7 @@ def handle_api(path: str, body: dict) -> dict:
         v, z = st.arithmetic(terms)
         out = _mesh_payload(v, faces, st.colorize(v, coloring))
         # PCA nearest-neighbor of the combined latent (app.py:998-1050)
-        st.fit_pca()
+        st.fit_pca(st._pca_cache_path())
         p = st.pca.transform(z.reshape(1, -1).astype(np.float64))[0]
         _, nn_idx = st.kdtree.query(p)
         out["nearest"] = {"index": int(nn_idx), "name": st.dataset.names[int(nn_idx)]}
@@ -149,7 +149,9 @@ class Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         # mesh payloads are ~MB of JSON — gzip when the client accepts it
-        if len(content) > 16384 and "gzip" in self.headers.get("Accept-Encoding", ""):
+        ae = self.headers.get("Accept-Encoding", "")
+        accepts_gzip = "gzip" in ae and "gzip;q=0" not in ae.replace(" ", "")
+        if len(content) > 16384 and accepts_gzip:
             import gzip
 
             content = gzip.compress(content, compresslevel=4)

@@ -36,6 +36,7 @@ __all__ = ["AppState"]
 class AppState:
     def __init__(self):
         self.info = None
+        self.instance = "val"
         self.cfg: Config | None = None
         self.model = None
         self.variables = None
@@ -54,6 +55,7 @@ class AppState:
     def load(self, cfg: Config, data_instance: str = "val"):
         """Load checkpoint + dataset, jit encode/decode, build latent cache."""
         self.cfg = cfg
+        self.instance = data_instance
         s = cfg.model.subdivisions
         if cfg.data.synthetic:
             self.dataset = synthetic_dataset(s, cfg.data.synthetic,
@@ -128,8 +130,18 @@ class AppState:
 
     def decode_batch(self, zs: np.ndarray) -> np.ndarray:
         """(N, Hz, Wz, C) latents -> (N, V, 3) in one batched TPU inference
-        (the app generative path as batched inference, BASELINE configs[3])."""
-        return np.asarray(self._decode_fn(jnp.asarray(zs)))
+        (the app generative path as batched inference, BASELINE configs[3]).
+
+        N is zero-padded up to the next power of two so arbitrary request
+        sizes reuse a handful of jit specializations instead of compiling
+        per distinct N (compiles cost seconds-to-minutes on tunneled TPUs).
+        """
+        n = zs.shape[0]
+        bucket = 1 << max(0, (n - 1).bit_length())
+        if bucket != n:
+            pad = np.zeros((bucket - n, *zs.shape[1:]), zs.dtype)
+            zs = np.concatenate([zs, pad], axis=0)
+        return np.asarray(self._decode_fn(jnp.asarray(zs)))[:n]
 
     def interpolate(self, i: int, j: int, t: float) -> np.ndarray:
         z = (1.0 - t) * self.latents[i] + t * self.latents[j]
@@ -188,7 +200,9 @@ class AppState:
         if cache_path and os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
                 self.pca, self.pca_points = pickle.load(f)
-        else:
+            if len(self.pca_points) != len(self.latents):
+                self.pca = None  # stale cache — refit below
+        if self.pca is None:
             from sklearn.decomposition import PCA
 
             self.pca = PCA(n_components=3)
@@ -201,10 +215,16 @@ class AppState:
         self.kdtree = KDTree(self.pca_points)
 
     def _pca_cache_path(self):
-        """On-disk PCA cache like the reference's pca.pkl (app.py:255-279)."""
+        """On-disk PCA cache like the reference's pca.pkl (app.py:255-279),
+        keyed by checkpoint epoch, data instance and dataset size so stale
+        fits are never served against fresh latents."""
         if self.cfg is None:
             return None
-        return os.path.join(self.cfg.model_log_dir(), "pca.pkl")
+        return os.path.join(
+            self.cfg.model_log_dir(),
+            f"pca_{self.cfg.model.name}_e{self.epoch}_{self.instance}"
+            f"_n{len(self.dataset)}.pkl",
+        )
 
     def pca_scatter(self):
         self.fit_pca(self._pca_cache_path())
@@ -216,13 +236,13 @@ class AppState:
 
     def pca_nearest_decode(self, p3: list[float]):
         """Nearest dataset latent to a 3-D PCA point, decoded."""
-        self.fit_pca()
+        self.fit_pca(self._pca_cache_path())
         _, idx = self.kdtree.query(np.asarray(p3, np.float32))
         return self.decode_latent(self.latents[int(idx)]), int(idx)
 
     def closest_pairs(self, k: int = 5, farthest: bool = False):
         """Top-k closest/farthest PCA pairs (app.py:383-409)."""
-        self.fit_pca()
+        self.fit_pca(self._pca_cache_path())
         p = self.pca_points
         d = np.linalg.norm(p[:, None] - p[None, :], axis=-1)
         iu = np.triu_indices(len(p), 1)

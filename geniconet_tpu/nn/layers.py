@@ -188,11 +188,17 @@ class UpBlock(nn.Module):
         bn = dict(use_running_average=not train, axis_name=self.axis_name, dtype=self.dtype)
         s = self.in_subdivisions
         up = ico_upsample_s2s(x.astype(self.dtype), s, self.corner_mode)
-        if self.use_pallas:
+        from geniconet_tpu.ops.pallas.conv_kernel import fused_vmem_ok
+
+        will_fuse = self.use_pallas and fused_vmem_ok(
+            s + 1, up.shape[-1], self.features, jnp.dtype(self.dtype).itemsize
+        )
+        if will_fuse:
             # fused kernels build their halo in VMEM — no HBM pre-pad
             src, padded = up, False
         else:
-            # both branches read the same upsampled halo — pad once
+            # both branches read the same upsampled halo — pad once (also the
+            # route when the fused kernel would exceed scoped VMEM at s>=6)
             src, padded = ico_pad(up, s + 1, self.corner_mode), True
         b0 = IcoConvS2S(self.features, s + 1, stride=1, name="conv00", **kw)(src, is_padded=padded)
         b0 = IcoBatchNorm(name="bn00", **bn)(b0)

@@ -186,7 +186,9 @@ def parse_args(argv=None) -> Config:
         cfg.model.compute_dtype = a.compute_dtype
     if a.widths:
         cfg.model.widths = tuple(a.widths)
-    if a.latent_features:
+    if a.latent_features is not None:
+        if a.latent_features <= 0:
+            raise SystemExit("--latent_features must be positive")
         cfg.model.latent_features = a.latent_features
     cfg.model.use_pallas = a.use_pallas
     return cfg

@@ -299,18 +299,21 @@ class Trainer:
             history.append(cur)
             if cur <= best_loss:  # reference saves on ties too (run.py:318)
                 best_loss = cur
-                self._save(state, ckpt_dir, name, epoch + 1, cur, best=True)
+                self._save(state, ckpt_dir, name, epoch + 1, cur, best=True,
+                           best_loss=best_loss)
                 ckpt.gc_best_checkpoints(ckpt_dir, name)
             if (epoch + 1) % cfg.train.save_epoch_freq == 0:
-                self._save(state, ckpt_dir, name, epoch + 1, cur, best=False)
+                self._save(state, ckpt_dir, name, epoch + 1, cur, best=False,
+                           best_loss=best_loss)
         if cfg.train.train_epoch > start_epoch:
             self._save(
                 state, ckpt_dir, name, cfg.train.train_epoch,
                 history[-1] if history else np.inf, best=False,
+                best_loss=best_loss,
             )
         return state, history
 
-    def _save(self, state, ckpt_dir, name, epoch, loss, best):
+    def _save(self, state, ckpt_dir, name, epoch, loss, best, best_loss=None):
         misc = None
         if self.last_misc is not None:
             mu, logvar = jax.device_get(self.last_misc)
@@ -322,6 +325,9 @@ class Trainer:
             "step": int(jax.device_get(state.step)),
             "epoch": epoch,
             "loss": float(loss),
+            # the running best — lets a resume from a *periodic* checkpoint
+            # keep protecting the true best EB checkpoint
+            "best_loss": float(best_loss if best_loss is not None else loss),
         }
         if misc is not None:
             blob["misc"] = misc
@@ -351,7 +357,7 @@ class Trainer:
             rng=state.rng,
         )
         self._host_step = int(blob["step"])
-        best = float(blob.get("loss", np.inf))
+        best = float(blob.get("best_loss", blob.get("loss", np.inf)))
         return mesh_lib.replicate(new, self.mesh), int(blob["epoch"]), best
 
     # ------------------------------------------------------------------
