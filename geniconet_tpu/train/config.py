@@ -19,6 +19,19 @@ from typing import Optional
 __all__ = ["ModelConfig", "OptimConfig", "DataConfig", "TrainConfig", "Config", "parse_args"]
 
 
+def _git_sha() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            capture_output=True, text=True, timeout=5,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 @dataclass
 class ModelConfig:
     name: str = "ico2ico"  # 'ico2ico' (AE) | 'ico2ico_vae' (VAE)
@@ -102,7 +115,9 @@ class Config:
         return os.path.join(self.log_dir, sub)
 
     def to_json(self) -> str:
-        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+        d = dataclasses.asdict(self)
+        d["git_sha"] = _git_sha()  # reference records repo SHAs (run.py:715-716)
+        return json.dumps(d, indent=2, default=str)
 
     def save(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
