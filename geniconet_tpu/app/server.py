@@ -36,6 +36,29 @@ _STATIC = os.path.join(os.path.dirname(__file__), "static")
 STATE = AppState()
 _LOCK = threading.Lock()
 
+# Roots that /api/view_file may read from and /api/export may write under.
+# Populated from the loaded config (logDir/dataDir) and --allow_dir; the
+# reference Dash app had the same arbitrary-path viewer but only ever
+# listened on localhost, so the explorer here sandboxes file access before
+# the server can be exposed with --host.
+ALLOWED_ROOTS: list = []
+
+
+def _allow_root(path: str):
+    if path:
+        ALLOWED_ROOTS.append(os.path.realpath(path))
+
+
+def _check_path(path: str) -> str:
+    """Resolve `path` and require it under an allowed root."""
+    rp = os.path.realpath(path)
+    for root in ALLOWED_ROOTS:
+        if rp == root or rp.startswith(root + os.sep):
+            return rp
+    raise PermissionError(
+        f"path outside the configured data/log roots: {path!r}"
+    )
+
 
 def _mesh_payload(vertices: np.ndarray, faces: np.ndarray, colors: np.ndarray):
     return {
@@ -57,7 +80,10 @@ def handle_api(path: str, body: dict) -> dict:
         cfg.data.data_dir = body.get("dataDir", "")
         cfg.data.synthetic = int(body.get("synthetic", 0))
         cfg.data.layout_level = int(body.get("dataPthLvl", 2))
-        return st.load(cfg, body.get("instance", "val"))
+        info = st.load(cfg, body.get("instance", "val"))
+        _allow_root(cfg.log_dir)
+        _allow_root(cfg.data.data_dir)
+        return info
 
     if path == "/api/info":
         if st.info is None:
@@ -127,13 +153,14 @@ def handle_api(path: str, body: dict) -> dict:
         return {"pairs": st.closest_pairs(int(body.get("k", 5)),
                                           bool(body.get("farthest", False)))}
     if path == "/api/view_file":
-        v, f = st.view_file(body["path"])
+        v, f = st.view_file(_check_path(body["path"]))
         colors = np.tile(np.array([0.62, 0.66, 0.72], np.float32), (len(v), 1))
         return _mesh_payload(v, f, colors)
     if path == "/api/export":
         i = int(body["i"])
         v = st.reconstruct(i)
         out_dir = body.get("dir", os.path.join(st.cfg.model_log_dir(), "export"))
+        out_dir = _check_path(out_dir)
         os.makedirs(out_dir, exist_ok=True)
         p = os.path.join(out_dir, f"{st.dataset.names[i]}_recon.off")
         write_off(p, v, faces)
@@ -174,9 +201,9 @@ class Handler(BaseHTTPRequestHandler):
         return self._send(404, b"not found", "text/plain")
 
     def do_POST(self):
-        n = int(self.headers.get("Content-Length", 0))
-        body = json.loads(self.rfile.read(n) or b"{}")
         try:
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
             with _LOCK:
                 out = handle_api(self.path, body)
             self._send(200, json.dumps(out).encode(), "application/json")
@@ -193,9 +220,19 @@ def main(argv=None):
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--subdivision", type=int, default=5)
     p.add_argument("--port", type=int, default=8050)
+    p.add_argument(
+        "--host", default="127.0.0.1",
+        help="bind address; pass 0.0.0.0 to opt into network exposure",
+    )
+    p.add_argument(
+        "--allow_dir", action="append", default=[],
+        help="extra root(s) the file viewer/exporter may access",
+    )
     p.add_argument("--no_autoload", action="store_true")
     a = p.parse_args(argv)
 
+    for d in a.allow_dir:
+        _allow_root(d)
     if not a.no_autoload:
         body = {
             "model": a.model, "logDir": a.logDir, "dataDir": a.dataDir,
@@ -204,8 +241,8 @@ def main(argv=None):
         info = handle_api("/api/load", body)
         print(f"loaded: {info['n']} meshes, epoch {info['epoch']}")
 
-    srv = ThreadingHTTPServer(("0.0.0.0", a.port), Handler)
-    print(f"GenIcoNet-TPU explorer on http://localhost:{a.port}")
+    srv = ThreadingHTTPServer((a.host, a.port), Handler)
+    print(f"GenIcoNet-TPU explorer on http://{a.host}:{a.port}")
     srv.serve_forever()
 
 

@@ -216,14 +216,24 @@ class AppState:
 
     def _pca_cache_path(self):
         """On-disk PCA cache like the reference's pca.pkl (app.py:255-279),
-        keyed by checkpoint epoch, data instance and dataset size so stale
-        fits are never served against fresh latents."""
+        keyed by checkpoint epoch, data instance, and a content fingerprint
+        (data dir + mesh names) so a *different* dataset of the same size
+        never silently reuses a stale fit."""
         if self.cfg is None:
             return None
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(self.cfg.data.data_dir.encode())
+        h.update(str(self.cfg.data.synthetic).encode())
+        h.update(str(self.cfg.train.quick_learn).encode())
+        for name in self.dataset.names:
+            h.update(name.encode())
+            h.update(b"\0")
         return os.path.join(
             self.cfg.model_log_dir(),
             f"pca_{self.cfg.model.name}_e{self.epoch}_{self.instance}"
-            f"_n{len(self.dataset)}.pkl",
+            f"_n{len(self.dataset)}_{h.hexdigest()[:10]}.pkl",
         )
 
     def pca_scatter(self):

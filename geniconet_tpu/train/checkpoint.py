@@ -36,7 +36,17 @@ __all__ = [
     "merge_checkpoints",
 ]
 
-_EB_RE = re.compile(r"_EB(\d+)\.ckpt$")
+def _best_epochs(ckpt_dir: str, model_name: str) -> list:
+    """Epoch numbers of this model's EB checkpoints. The filename is matched
+    exactly (``<model>_EB<n>.ckpt``) so e.g. model 'ico2ico' never picks up
+    'ico2ico_vae_EB3.ckpt' when two models share a ckpt_dir."""
+    pat = re.compile(re.escape(model_name) + r"_EB(\d+)\.ckpt")
+    out = []
+    for f in os.listdir(ckpt_dir):
+        m = pat.fullmatch(f)
+        if m:
+            out.append(int(m.group(1)))
+    return out
 
 
 def checkpoint_path(ckpt_dir: str, model_name: str, epoch: int, best: bool) -> str:
@@ -70,12 +80,7 @@ def latest_best_epoch(ckpt_dir: str, model_name: str):
     """Newest EB epoch number or None (reference run.py:343-349 semantics)."""
     if not os.path.isdir(ckpt_dir):
         return None
-    best = []
-    for f in os.listdir(ckpt_dir):
-        if f.startswith(model_name + "_"):
-            m = _EB_RE.search(f)
-            if m:
-                best.append(int(m.group(1)))
+    best = _best_epochs(ckpt_dir, model_name)
     return max(best) if best else None
 
 
@@ -85,13 +90,7 @@ def gc_best_checkpoints(ckpt_dir: str, model_name: str, keep: int = 6):
     newest 5 existing EB files, then save the new one — i.e. 6 newest)."""
     if not os.path.isdir(ckpt_dir):
         return
-    epochs = []
-    for f in os.listdir(ckpt_dir):
-        if f.startswith(model_name + "_"):
-            m = _EB_RE.search(f)
-            if m:
-                epochs.append(int(m.group(1)))
-    epochs.sort()
+    epochs = sorted(_best_epochs(ckpt_dir, model_name))
     for e in epochs[:-keep]:
         try:
             os.remove(checkpoint_path(ckpt_dir, model_name, e, best=True))
