@@ -229,48 +229,15 @@ def _dtaps_kernel(x_ref, g_ref, o_ref, *, h, w, corner_mode, stride, k):
         )
 
 
-def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, stride, k, out_dtype):
-    """dx = padᵀ(convᵀ(g)): build dP = Σ_t slice_t ← g·W_tᵀ, then accumulate
-    every pad-source position back (the exact transpose of `_build_padded`,
-    which is stride-independent). Processes k samples per program (the dP
-    construction and pad-transpose are per-chart-row local, so the k·5 chart
-    axis passes through unchanged except the pole sums, done per sample)."""
-    cout = g_ref.shape[-1]
-    cin = w_ref.shape[1]
-    ho, wo = h // stride, w // stride
-    gm = g_ref[...].reshape(k * 5 * ho * wo, cout).astype(jnp.float32)
-
-    # dP = Σ_t place(g·W_tᵀ at slice_t); static jnp.pad placement — Mosaic
-    # has no dynamic_slice/scatter lowering at value level
+def _pad_transpose(dP, *, h, w, corner_mode, k):
+    """Exact transpose of `_build_padded`: accumulate every pad-source
+    position of dP (k·5, h+2, w+2, C) back into dx (k·5, h, w, C). The
+    slicing is per-chart-row local, so the k·5 chart axis passes through
+    unchanged except the pole sums, done per sample. Shared by the plain
+    conv backward and the fused upsample+conv backward
+    (ops/pallas/phase_kernel.py)."""
     n = k * 5
-    dP = jnp.zeros((n, h + 2, w + 2, cin), jnp.float32)
-    for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
-        contrib = jax.lax.dot_general(
-            gm, w_ref[t].astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(n, ho, wo, cin)
-        if stride == 1:
-            dP += jnp.pad(
-                contrib,
-                ((0, 0), (1 + di, 1 - di), (1 + dj, 1 - dj), (0, 0)),
-            )
-        else:
-            # scatter to strided positions a0+2m, b0+2m via parity interleave
-            a0, b0 = 2 + di, 1 + dj
-            ra, pa = a0 // 2, a0 % 2
-            cb, pb = b0 // 2, b0 % 2
-            z = jnp.zeros_like(contrib)
-            cols = jnp.stack([contrib, z] if pb == 0 else [z, contrib], axis=3)
-            cols = cols.reshape(n, ho, wo * 2, cin)
-            rows = jnp.stack([cols, jnp.zeros_like(cols)] if pa == 0
-                             else [jnp.zeros_like(cols), cols], axis=2)
-            rows = rows.reshape(n, ho * 2, wo * 2, cin)
-            dP += jnp.pad(
-                rows,
-                ((0, 0), (2 * ra, (h + 2) - 2 * ra - ho * 2),
-                 (2 * cb, (w + 2) - 2 * cb - wo * 2), (0, 0)),
-            )
+    cin = dP.shape[-1]
 
     def place(val, r0, q0):
         """Embed val (n, vh, vw, C) into a zero (n, h, w, C) at (r0, q0)."""
@@ -313,6 +280,50 @@ def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, stride, k, out_dtype):
         dps = jnp.broadcast_to(dps[:, None], (k, 5, 1, 1, cin)).reshape(n, 1, 1, cin)
         dx += place(dpn, 0, 0)
         dx += place(dps, h - 1, w - 1)
+    return dx
+
+
+def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, stride, k, out_dtype):
+    """dx = padᵀ(convᵀ(g)): build dP = Σ_t slice_t ← g·W_tᵀ, then accumulate
+    every pad-source position back via `_pad_transpose`."""
+    cout = g_ref.shape[-1]
+    cin = w_ref.shape[1]
+    ho, wo = h // stride, w // stride
+    gm = g_ref[...].reshape(k * 5 * ho * wo, cout).astype(jnp.float32)
+
+    # dP = Σ_t place(g·W_tᵀ at slice_t); static jnp.pad placement — Mosaic
+    # has no dynamic_slice/scatter lowering at value level
+    n = k * 5
+    dP = jnp.zeros((n, h + 2, w + 2, cin), jnp.float32)
+    for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
+        contrib = jax.lax.dot_general(
+            gm, w_ref[t].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(n, ho, wo, cin)
+        if stride == 1:
+            dP += jnp.pad(
+                contrib,
+                ((0, 0), (1 + di, 1 - di), (1 + dj, 1 - dj), (0, 0)),
+            )
+        else:
+            # scatter to strided positions a0+2m, b0+2m via parity interleave
+            a0, b0 = 2 + di, 1 + dj
+            ra, pa = a0 // 2, a0 % 2
+            cb, pb = b0 // 2, b0 % 2
+            z = jnp.zeros_like(contrib)
+            cols = jnp.stack([contrib, z] if pb == 0 else [z, contrib], axis=3)
+            cols = cols.reshape(n, ho, wo * 2, cin)
+            rows = jnp.stack([cols, jnp.zeros_like(cols)] if pa == 0
+                             else [jnp.zeros_like(cols), cols], axis=2)
+            rows = rows.reshape(n, ho * 2, wo * 2, cin)
+            dP += jnp.pad(
+                rows,
+                ((0, 0), (2 * ra, (h + 2) - 2 * ra - ho * 2),
+                 (2 * cb, (w + 2) - 2 * cb - wo * 2), (0, 0)),
+            )
+
+    dx = _pad_transpose(dP, h=h, w=w, corner_mode=corner_mode, k=k)
     o_ref[...] = dx.reshape(k, 5, h, w, cin).astype(out_dtype)
 
 

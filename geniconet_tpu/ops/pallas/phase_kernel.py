@@ -1,0 +1,756 @@
+"""Fused Pallas kernels for the phase-domain hex conv (ops/phase.py).
+
+Three ops, each with fully-fused custom-VJP backward kernels:
+
+* ``fused_dual_s2_conv``   — both stride-2 convs of a DownBlock in one
+  kernel: 4 phase tensors in (XLA-side parity slices of x), two standard
+  level-(s-1) tensors out. Retires the round-1 Mosaic pathology (the
+  parity-split windows) by never parity-reshaping inside the kernel.
+* ``fused_up_dual_conv``   — an UpBlock's upsample + both first convs in
+  one kernel: standard level-s tensor in, 2×4 phase tensors of level s+1
+  out. The 4×-sized upsampled tensor never exists in HBM, the halo pad is
+  built once in VMEM, and both convs share the padded phases.
+* ``fused_phase_conv_s1``  — stride-1 conv consuming/producing phase
+  tensors (an UpBlock's second conv), so an UpBlock interleaves exactly
+  once, at its output, in XLA.
+
+All matmuls stack the output phases along the row (M) dimension, so each
+tap is ONE MXU matmul regardless of how many output phases are computed.
+Accumulation is fp32. The backward kernels mirror the structure:
+``_phase_pad_transpose`` is the exact adjoint of the halo table in
+ops/phase.py, and the upsample adjoint scatters the four phase cotangents
+back into the padded level-s tensor before reusing the plain conv's
+``_pad_transpose``.
+
+Correctness: every op is tested against the XLA phase composition (values
+and grads) in tests/test_phase_kernel.py, which itself is pinned to the
+standard-grid ops in tests/test_phase.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from geniconet_tpu.ops.pallas.conv_kernel import _build_padded, _pad_transpose
+from geniconet_tpu.ops.phase import tap_table
+
+__all__ = [
+    "fused_dual_s2_conv",
+    "fused_up_dual_conv",
+    "fused_phase_conv_s1",
+    "phase_vmem_ok",
+]
+
+_TABLE = tuple(tap_table(p) for p in range(4))
+_ALL = (0, 1, 2, 3)
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def phase_vmem_ok(h: int, w: int, cin: int, cout: int, n_sets: int = 1) -> bool:
+    """Whether one sample's phase-kernel working set fits scoped VMEM.
+
+    Dominated by the dx backward: 4 padded fp32 accumulators, the per-tap
+    contributions, and the pad-transpose temporaries — roughly 18 buffers
+    of 5·h·w·C fp32 (mirroring conv_kernel.fused_vmem_ok's calibration).
+    """
+    c = max(cin, cout * n_sets)
+    est = 18 * 5 * h * w * c * 4
+    return est < 90 * 1024 * 1024
+
+
+def _choose_k(B, per_sample_bytes, rows_per_sample):
+    """Samples per grid program: target >=8k matmul rows, bounded by a
+    VMEM budget and divisibility of B."""
+    k_rows = max(1, 8192 // max(rows_per_sample, 1))
+    k_mem = max(1, (10 * 1024 * 1024) // max(per_sample_bytes, 1))
+    k_cap = min(k_rows, k_mem, B)
+    for k in range(k_cap, 0, -1):
+        if B % k == 0:
+            return k
+    return 1
+
+
+def _roll_chart(A, shift, k):
+    """A[c] -> A[(c+shift) mod 5] within each sample's 5-chart group."""
+    A5 = A.reshape(k, 5, *A.shape[1:])
+    rolled = jnp.concatenate([A5[:, shift:], A5[:, :shift]], axis=1)
+    return rolled.reshape(A.shape)
+
+
+def _place(val, r0, c0, H, W):
+    """Embed val (n, vh, vw, C) into a zero (n, H, W, C) at (r0, c0)."""
+    vh, vw = val.shape[1], val.shape[2]
+    return jnp.pad(val, ((0, 0), (r0, H - r0 - vh), (c0, W - c0 - vw), (0, 0)))
+
+
+def _phase_pad_k(phases, k, h, w, corner_mode):
+    """In-kernel phase halo pad: 4×(n, h, w, C) -> 4×(n, h+1, w+1, C).
+
+    Mirrors ops/phase.py `phase_pad` exactly (see its halo-source table);
+    chart rolls are per-sample-group concats, pole means are unrolled."""
+    ee, eq, oo, oq = phases
+    n, C = ee.shape[0], ee.shape[-1]
+    dtype = ee.dtype
+    up = lambda t: _roll_chart(t, 1, k)  # up(t)[c] = t[c+1]
+    dn = lambda t: _roll_chart(t, 4, k)  # dn(t)[c] = t[c-1]
+    swap = lambda t: jnp.swapaxes(t, 1, 2)
+
+    if corner_mode == "average":
+        fifth = jnp.asarray(0.2, jnp.float32)
+        ee5 = ee.reshape(k, 5, h, w, C)
+        oq5 = oq.reshape(k, 5, h, w, C)
+        pn = sum(ee5[:, c, 0:1, 0:1, :].astype(jnp.float32) for c in range(5)) * fifth
+        ps = sum(
+            oq5[:, c, h - 1 : h, w - 1 : w, :].astype(jnp.float32) for c in range(5)
+        ) * fifth
+        pole_n = jnp.broadcast_to(pn[:, None].astype(dtype), (k, 5, 1, 1, C)).reshape(
+            n, 1, 1, C
+        )
+        pole_s = jnp.broadcast_to(ps[:, None].astype(dtype), (k, 5, 1, 1, C)).reshape(
+            n, 1, 1, C
+        )
+    else:
+        pole_n = jnp.zeros((n, 1, 1, C), dtype)
+        pole_s = jnp.zeros((n, 1, 1, C), dtype)
+    zc = jnp.zeros((n, 1, 1, C), dtype)
+
+    ee_right = swap(up(oq)[:, h - 1 : h, h:w, :])
+    ee_bot = jnp.concatenate(
+        [dn(ee)[:, 0:1, h:w, :], swap(dn(eq)[:, 0:h, w - 1 : w, :]), zc], axis=2
+    )
+    ee_p = jnp.concatenate(
+        [jnp.concatenate([ee, ee_right], axis=2), ee_bot], axis=1
+    )
+
+    eq_left = swap(dn(ee)[:, 0:1, 0:h, :])
+    eq_bot = jnp.concatenate(
+        [dn(eq)[:, 0:1, h - 1 : w, :], swap(dn(oq)[:, 0:h, w - 1 : w, :])], axis=2
+    )
+    eq_p = jnp.concatenate(
+        [jnp.concatenate([eq_left, eq], axis=2), eq_bot], axis=1
+    )
+
+    oo_top = jnp.concatenate(
+        [pole_n, swap(up(oo)[:, 0:h, 0:1, :]), up(oo)[:, h - 1 : h, 1 : h + 1, :]],
+        axis=2,
+    )
+    oo_right = jnp.concatenate(
+        [swap(up(oo)[:, h - 1 : h, h + 1 : w, :]), pole_s], axis=1
+    )
+    oo_p = jnp.concatenate(
+        [oo_top, jnp.concatenate([oo, oo_right], axis=2)], axis=1
+    )
+
+    oq_top = jnp.concatenate(
+        [zc, swap(up(ee)[:, 0:h, 0:1, :]), up(oq)[:, h - 1 : h, 0:h, :]], axis=2
+    )
+    oq_p = jnp.concatenate(
+        [oq_top, jnp.concatenate([swap(dn(eq)[:, 0:1, 0:h, :]), oq], axis=2)],
+        axis=1,
+    )
+    return ee_p, eq_p, oo_p, oq_p
+
+
+def _phase_pad_transpose(dpad, k, h, w, corner_mode):
+    """Exact adjoint of `_phase_pad_k`: accumulate halo-cell cotangents of
+    the 4 padded phases (n, h+1, w+1, C) back into (n, h, w, C) sources."""
+    d_eep, d_eqp, d_oop, d_oqp = dpad
+    n, C = d_eep.shape[0], d_eep.shape[-1]
+    up_t = lambda t: _roll_chart(t, 4, k)  # adjoint of up
+    dn_t = lambda t: _roll_chart(t, 1, k)  # adjoint of dn
+    swap = lambda t: jnp.swapaxes(t, 1, 2)
+    place = lambda v, r0, c0: _place(v, r0, c0, h, w)
+
+    d_ee = d_eep[:, 0:h, 0:w, :]
+    d_eq = d_eqp[:, 0:h, 1 : w + 1, :]
+    d_oo = d_oop[:, 1 : h + 1, 0:w, :]
+    d_oq = d_oqp[:, 1 : h + 1, 1 : w + 1, :]
+
+    # ee halos: right col <- up(oq)[h-1, h:w]; bottom <- dn(ee)[0, h:w] ++ dn(eq)[:, w-1]
+    d_oq += up_t(place(swap(d_eep[:, 0:h, w : w + 1, :]), h - 1, h))
+    d_ee += dn_t(place(d_eep[:, h : h + 1, 0:h, :], 0, h))
+    d_eq += dn_t(place(swap(d_eep[:, h : h + 1, h:w, :]), 0, w - 1))
+    # eq halos: left col <- dn(ee)[0, 0:h]; bottom <- dn(eq)[0, h-1:w] ++ dn(oq)[:, w-1]
+    d_ee += dn_t(place(swap(d_eqp[:, 0:h, 0:1, :]), 0, 0))
+    d_eq += dn_t(place(d_eqp[:, h : h + 1, 0 : h + 1, :], 0, h - 1))
+    d_oq += dn_t(place(swap(d_eqp[:, h : h + 1, h + 1 : w + 1, :]), 0, w - 1))
+    # oo halos: top <- [pole_n, up(oo)[0:h, 0], up(oo)[h-1, 1:h+1]];
+    #           right <- [up(oo)[h-1, h+1:w], pole_s]
+    d_oo += up_t(place(swap(d_oop[:, 0:1, 1 : h + 1, :]), 0, 0))
+    d_oo += up_t(place(d_oop[:, 0:1, h + 1 : w + 1, :], h - 1, 1))
+    d_oo += up_t(place(swap(d_oop[:, 1:h, w : w + 1, :]), h - 1, h + 1))
+    # oq halos: top <- [masked, up(ee)[0:h, 0], up(oq)[h-1, 0:h]]; left <- dn(eq)[0, 0:h]
+    d_ee += up_t(place(swap(d_oqp[:, 0:1, 1 : h + 1, :]), 0, 0))
+    d_oq += up_t(place(d_oqp[:, 0:1, h + 1 : w + 1, :], h - 1, 0))
+    d_eq += dn_t(place(swap(d_oqp[:, 1 : h + 1, 0:1, :]), 0, 0))
+
+    if corner_mode == "average":
+        fifth = jnp.asarray(0.2, jnp.float32)
+        d_oop5 = d_oop.reshape(k, 5, h + 1, w + 1, C)
+        dpn = sum(d_oop5[:, c, 0:1, 0:1, :] for c in range(5)) * fifth
+        dps = sum(d_oop5[:, c, h : h + 1, w : w + 1, :] for c in range(5)) * fifth
+        dpn = jnp.broadcast_to(dpn[:, None], (k, 5, 1, 1, C)).reshape(n, 1, 1, C)
+        dps = jnp.broadcast_to(dps[:, None], (k, 5, 1, 1, C)).reshape(n, 1, 1, C)
+        d_ee += place(dpn, 0, 0)
+        d_oq += place(dps, h - 1, w - 1)
+    return d_ee, d_eq, d_oo, d_oq
+
+
+def _upsample_phases(P, h, w):
+    """Padded level-s tensor (n, h+2, w+2, C) -> the four level-(s+1)
+    phases (n, h, w, C) (midpoint formulas from ops/upsample.py)."""
+    half = jnp.asarray(0.5, P.dtype)
+    oo = P[:, 1 : h + 1, 1 : w + 1, :]
+    ee = (P[:, 0:h, 1 : w + 1, :] + oo) * half
+    oq = (oo + P[:, 1 : h + 1, 2 : w + 2, :]) * half
+    eq = (oo + P[:, 0:h, 2 : w + 2, :]) * half
+    return ee, eq, oo, oq
+
+
+def _upsample_transpose(dphases, h, w):
+    """Adjoint of `_upsample_phases`: 4×(n, h, w, C) fp32 cotangents ->
+    padded-tensor cotangent dP (n, h+2, w+2, C) fp32."""
+    d_ee, d_eq, d_oo, d_oq = dphases
+    half = jnp.asarray(0.5, jnp.float32)
+    place = lambda v, r0, c0: _place(v, r0, c0, h + 2, w + 2)
+    dP = place(d_oo + half * (d_ee + d_oq + d_eq), 1, 1)
+    dP += place(half * d_ee, 0, 1)
+    dP += place(half * d_oq, 1, 2)
+    dP += place(half * d_eq, 0, 2)
+    return dP
+
+
+def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
+    """Shared forward contraction: for each tap set, stack the requested
+    output phases along rows so each tap is one MXU matmul. Returns a list
+    (per set) of lists (per out phase) of (k, 5, h, w, cout) arrays."""
+    n = k * 5
+    rows = n * h * w
+    cin = padded[0].shape[-1]
+    n_out = len(out_phases)
+    results = []
+    for w_ref, b_ref in zip(w_refs, b_refs):
+        cout = w_ref.shape[-1]
+        acc = jnp.zeros((n_out * rows, cout), jnp.float32)
+        for t in range(7):
+            sls = [
+                padded[_TABLE[p][t][0]][
+                    :, _TABLE[p][t][1] : _TABLE[p][t][1] + h,
+                    _TABLE[p][t][2] : _TABLE[p][t][2] + w, :
+                ]
+                for p in out_phases
+            ]
+            stacked = jnp.concatenate(sls, axis=0).reshape(n_out * rows, cin)
+            acc += jnp.dot(stacked, w_ref[t], preferred_element_type=jnp.float32)
+        acc += b_ref[0].astype(jnp.float32)
+        results.append(
+            [
+                acc[i * rows : (i + 1) * rows]
+                .reshape(k, 5, h, w, cout)
+                .astype(out_dtype)
+                for i in range(n_out)
+            ]
+        )
+    return results
+
+
+def _dpad_accumulate(g_groups, w_refs, out_phases, h, w, k, cin):
+    """Backward shared step: accumulate tap contributions of all sets into
+    the 4 padded-phase cotangent buffers (n, h+1, w+1, cin) fp32."""
+    n = k * 5
+    rows = n * h * w
+    n_out = len(out_phases)
+    g_stacks = []
+    for g_refs in g_groups:
+        cout = g_refs[0].shape[-1]
+        g_stacks.append(
+            jnp.concatenate([g[...] for g in g_refs], axis=0)
+            .reshape(n_out * rows, cout)
+            .astype(jnp.float32)
+        )
+    dpad = [jnp.zeros((n, h + 1, w + 1, cin), jnp.float32) for _ in range(4)]
+    for t in range(7):
+        contrib = None
+        for g_stack, w_ref in zip(g_stacks, w_refs):
+            term = jax.lax.dot_general(
+                g_stack, w_ref[t].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            contrib = term if contrib is None else contrib + term
+        for i, p in enumerate(out_phases):
+            p_in, rs, cs = _TABLE[p][t]
+            c_p = contrib[i * rows : (i + 1) * rows].reshape(n, h, w, cin)
+            dpad[p_in] += _place(c_p, rs, cs, h + 1, w + 1)
+    return dpad
+
+
+def _dtaps_accumulate(padded, g_groups, o_refs, out_phases, h, w, k, is_first):
+    """Backward shared step: per-set dL/dtaps[t] += stacked_sliceᵀ · g."""
+    n = k * 5
+    rows = n * h * w
+    cin = padded[0].shape[-1]
+    n_out = len(out_phases)
+    for o_ref in o_refs:
+        @pl.when(is_first)
+        def _(o_ref=o_ref):
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+    g_stacks = [
+        jnp.concatenate([g[...] for g in g_refs], axis=0)
+        .reshape(n_out * rows, g_refs[0].shape[-1])
+        .astype(jnp.float32)
+        for g_refs in g_groups
+    ]
+    for t in range(7):
+        sls = [
+            padded[_TABLE[p][t][0]][
+                :, _TABLE[p][t][1] : _TABLE[p][t][1] + h,
+                _TABLE[p][t][2] : _TABLE[p][t][2] + w, :
+            ]
+            for p in out_phases
+        ]
+        stacked = (
+            jnp.concatenate(sls, axis=0).reshape(n_out * rows, cin).astype(jnp.float32)
+        )
+        for o_ref, g_stack in zip(o_refs, g_stacks):
+            o_ref[t] += jax.lax.dot_general(
+                stacked, g_stack,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+# ---------------------------------------------------------------------------
+# Kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _pc_fwd_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype):
+    """Phase-input conv forward: refs = 4 phases, n_sets×(taps, bias),
+    then n_sets×len(out_phases) outputs."""
+    cin = refs[0].shape[-1]
+    phases = tuple(r[...].reshape(k * 5, h, w, cin) for r in refs[:4])
+    w_refs = [refs[4 + 2 * i] for i in range(n_sets)]
+    b_refs = [refs[5 + 2 * i] for i in range(n_sets)]
+    outs = refs[4 + 2 * n_sets :]
+    padded = _phase_pad_k(phases, k, h, w, corner_mode)
+    results = _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype)
+    i = 0
+    for per_set in results:
+        for arr in per_set:
+            outs[i][...] = arr
+            i += 1
+
+
+def _pc_dx_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype):
+    """Phase-input conv dx: refs = n_sets groups of len(out_phases) g refs,
+    n_sets taps, then 4 dphase outputs."""
+    n_out = len(out_phases)
+    g_groups = [refs[i * n_out : (i + 1) * n_out] for i in range(n_sets)]
+    w_refs = refs[n_sets * n_out : n_sets * n_out + n_sets]
+    outs = refs[n_sets * n_out + n_sets :]
+    cin = w_refs[0].shape[1]
+    dpad = _dpad_accumulate(g_groups, w_refs, out_phases, h, w, k, cin)
+    dphases = _phase_pad_transpose(dpad, k, h, w, corner_mode)
+    for o_ref, d in zip(outs, dphases):
+        o_ref[...] = d.reshape(k, 5, h, w, cin).astype(out_dtype)
+
+
+def _pc_dtaps_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets):
+    """Phase-input conv dtaps: refs = 4 phases, n_sets groups of g refs,
+    then n_sets (7, cin, cout) accumulator outputs."""
+    n_out = len(out_phases)
+    cin = refs[0].shape[-1]
+    phases = tuple(r[...].reshape(k * 5, h, w, cin) for r in refs[:4])
+    g_groups = [
+        refs[4 + i * n_out : 4 + (i + 1) * n_out] for i in range(n_sets)
+    ]
+    outs = refs[4 + n_sets * n_out :]
+    padded = _phase_pad_k(phases, k, h, w, corner_mode)
+    _dtaps_accumulate(
+        padded, g_groups, outs, out_phases, h, w, k, pl.program_id(0) == 0
+    )
+
+
+def _up_fwd_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype):
+    """Upsample + conv forward: refs = x (std level-s layout),
+    n_sets×(taps, bias), then n_sets×4 phase outputs."""
+    x_ref = refs[0]
+    w_refs = [refs[1 + 2 * i] for i in range(n_sets)]
+    b_refs = [refs[2 + 2 * i] for i in range(n_sets)]
+    outs = refs[1 + 2 * n_sets :]
+    P = jnp.concatenate(
+        [_build_padded(x_ref[i], h, w, corner_mode) for i in range(k)], axis=0
+    )
+    phases = _upsample_phases(P, h, w)
+    padded = _phase_pad_k(phases, k, h, w, corner_mode)
+    results = _contract(padded, w_refs, b_refs, _ALL, h, w, k, out_dtype)
+    i = 0
+    for per_set in results:
+        for arr in per_set:
+            outs[i][...] = arr
+            i += 1
+
+
+def _up_dx_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype):
+    """Upsample + conv dx: refs = n_sets×4 g refs, n_sets taps, 1 output
+    (std level-s layout)."""
+    g_groups = [refs[i * 4 : (i + 1) * 4] for i in range(n_sets)]
+    w_refs = refs[n_sets * 4 : n_sets * 4 + n_sets]
+    o_ref = refs[n_sets * 4 + n_sets]
+    cin = w_refs[0].shape[1]
+    dpad = _dpad_accumulate(g_groups, w_refs, _ALL, h, w, k, cin)
+    dphases = _phase_pad_transpose(dpad, k, h, w, corner_mode)
+    dP = _upsample_transpose(dphases, h, w)
+    dx = _pad_transpose(dP, h=h, w=w, corner_mode=corner_mode, k=k)
+    o_ref[...] = dx.reshape(k, 5, h, w, cin).astype(out_dtype)
+
+
+def _up_dtaps_kernel(*refs, h, w, k, corner_mode, n_sets):
+    """Upsample + conv dtaps: refs = x, n_sets×4 g refs, n_sets outputs."""
+    x_ref = refs[0]
+    g_groups = [refs[1 + i * 4 : 1 + (i + 1) * 4] for i in range(n_sets)]
+    outs = refs[1 + n_sets * 4 :]
+    P = jnp.concatenate(
+        [_build_padded(x_ref[i], h, w, corner_mode) for i in range(k)], axis=0
+    )
+    phases = _upsample_phases(P, h, w)
+    padded = _phase_pad_k(phases, k, h, w, corner_mode)
+    _dtaps_accumulate(
+        padded, g_groups, outs, _ALL, h, w, k, pl.program_id(0) == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+
+def _block(shape):
+    nd = len(shape)
+    return pl.BlockSpec(
+        shape, lambda b, nd=nd: (b,) + (0,) * (nd - 1), memory_space=pltpu.VMEM
+    )
+
+
+def _full():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _params(flops, bytes_accessed):
+    return dict(
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )
+
+
+def _norm_bias(bias, cout, dtype):
+    if bias is None:
+        return jnp.zeros((1, cout), dtype)
+    return bias.reshape(1, cout).astype(dtype)
+
+
+def _phase_conv_fwd(phases, tap_sets, corner_mode, out_phases):
+    """tap_sets: list of (taps, bias)."""
+    B = phases[0].shape[0]
+    h, w = phases[0].shape[2], phases[0].shape[3]
+    cin = phases[0].shape[-1]
+    dtype = phases[0].dtype
+    n_sets = len(tap_sets)
+    couts = [t.shape[-1] for t, _ in tap_sets]
+    per_sample = 5 * h * w * (8 * cin + 4 * sum(couts)) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+    kernel = functools.partial(
+        _pc_fwd_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
+        out_phases=out_phases, n_sets=n_sets, out_dtype=dtype,
+    )
+    in_specs = [_block((k, 5, h, w, cin))] * 4
+    args = list(phases)
+    for taps, bias in tap_sets:
+        in_specs += [_full(), _block((1, taps.shape[-1]))]
+        args += [taps, _norm_bias(bias, taps.shape[-1], taps.dtype)]
+    out_shape, out_specs = [], []
+    for cout in couts:
+        for _ in out_phases:
+            out_shape.append(jax.ShapeDtypeStruct((B, 5, h, w, cout), dtype))
+            out_specs.append(_block((k, 5, h, w, cout)))
+    flops = 2 * B * 5 * h * w * len(out_phases) * 7 * cin * sum(couts)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 4),
+    )(*args)
+    n_out = len(out_phases)
+    return [tuple(outs[i * n_out : (i + 1) * n_out]) for i in range(n_sets)]
+
+
+def _phase_conv_dx(g_groups, tap_sets, corner_mode, out_phases, cin, dtype):
+    B = g_groups[0][0].shape[0]
+    h, w = g_groups[0][0].shape[2], g_groups[0][0].shape[3]
+    n_sets = len(tap_sets)
+    couts = [t.shape[-1] for t, _ in tap_sets]
+    per_sample = 5 * h * w * (12 * cin + 4 * sum(couts)) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+    kernel = functools.partial(
+        _pc_dx_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
+        out_phases=out_phases, n_sets=n_sets, out_dtype=dtype,
+    )
+    in_specs, args = [], []
+    for g_group, cout in zip(g_groups, couts):
+        in_specs += [_block((k, 5, h, w, cout))] * len(out_phases)
+        args += list(g_group)
+    for taps, _ in tap_sets:
+        in_specs.append(_full())
+        args.append(taps)
+    out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, cin), dtype)] * 4
+    out_specs = [_block((k, 5, h, w, cin))] * 4
+    flops = 2 * B * 5 * h * w * len(out_phases) * 7 * cin * sum(couts)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 4),
+    )(*args)
+    return tuple(outs)
+
+
+def _phase_conv_dtaps(phases, g_groups, tap_shapes, corner_mode, out_phases):
+    B = phases[0].shape[0]
+    h, w = phases[0].shape[2], phases[0].shape[3]
+    cin = phases[0].shape[-1]
+    n_sets = len(g_groups)
+    couts = [s[-1] for s in tap_shapes]
+    per_sample = 5 * h * w * (8 * cin + 4 * sum(couts)) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+    kernel = functools.partial(
+        _pc_dtaps_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
+        out_phases=out_phases, n_sets=n_sets,
+    )
+    in_specs = [_block((k, 5, h, w, cin))] * 4
+    args = list(phases)
+    for g_group, cout in zip(g_groups, couts):
+        in_specs += [_block((k, 5, h, w, cout))] * len(out_phases)
+        args += list(g_group)
+    out_shape = [jax.ShapeDtypeStruct((7, cin, c), jnp.float32) for c in couts]
+    out_specs = [
+        pl.BlockSpec((7, cin, c), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
+        for c in couts
+    ]
+    flops = 2 * B * 5 * h * w * len(out_phases) * 7 * cin * sum(couts)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * 4),
+    )(*args)
+    return tuple(outs)
+
+
+def _dbias(g_group):
+    return sum(jnp.sum(g, axis=(0, 1, 2, 3)) for g in g_group)
+
+
+# --------------------------- fused_phase_conv_s1 ---------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_phase_conv_s1(phases, taps, bias, corner_mode="average"):
+    """Stride-1 hex conv in phase form: 4 phases in -> 4 phases out."""
+    (out,) = _phase_conv_fwd(phases, [(taps, bias)], corner_mode, _ALL)
+    return out
+
+
+def _pcs1_fwd(phases, taps, bias, corner_mode):
+    (out,) = _phase_conv_fwd(phases, [(taps, bias)], corner_mode, _ALL)
+    return out, (phases, taps, bias)
+
+
+def _pcs1_bwd(corner_mode, res, g):
+    phases, taps, bias = res
+    dtype = phases[0].dtype
+    dphases = _phase_conv_dx([g], [(taps, bias)], corner_mode, _ALL,
+                             phases[0].shape[-1], dtype)
+    (dtaps,) = _phase_conv_dtaps(phases, [g], [taps.shape], corner_mode, _ALL)
+    db = None if bias is None else _dbias(g).astype(bias.dtype)
+    return dphases, dtaps.astype(taps.dtype), db
+
+
+fused_phase_conv_s1.defvjp(_pcs1_fwd, _pcs1_bwd)
+
+
+# ---------------------------- fused_dual_s2_conv ---------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_dual_s2_conv(phases, taps_a, bias_a, taps_b, bias_b,
+                       corner_mode="average"):
+    """Both stride-2 convs of a DownBlock in one kernel.
+
+    phases: the 4 parity phases of the level-s input (XLA-side slices).
+    Returns (y_a, y_b), each a standard level-(s-1) tensor — the stride-2
+    conv is output phase (1,0) of the phase conv, so no parity reshapes.
+    """
+    (ya,), (yb,) = _phase_conv_fwd(
+        phases, [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, (2,)
+    )
+    return ya, yb
+
+
+def _ds2_fwd(phases, taps_a, bias_a, taps_b, bias_b, corner_mode):
+    (ya,), (yb,) = _phase_conv_fwd(
+        phases, [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, (2,)
+    )
+    return (ya, yb), (phases, taps_a, bias_a, taps_b, bias_b)
+
+
+def _ds2_bwd(corner_mode, res, g):
+    phases, taps_a, bias_a, taps_b, bias_b = res
+    ga, gb = g
+    dtype = phases[0].dtype
+    dphases = _phase_conv_dx(
+        [(ga,), (gb,)], [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, (2,),
+        phases[0].shape[-1], dtype,
+    )
+    dta, dtb = _phase_conv_dtaps(
+        phases, [(ga,), (gb,)], [taps_a.shape, taps_b.shape], corner_mode, (2,)
+    )
+    dba = None if bias_a is None else _dbias([ga]).astype(bias_a.dtype)
+    dbb = None if bias_b is None else _dbias([gb]).astype(bias_b.dtype)
+    return dphases, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype), dbb
+
+
+fused_dual_s2_conv.defvjp(_ds2_fwd, _ds2_bwd)
+
+
+# ---------------------------- fused_up_dual_conv ---------------------------
+
+
+def _up_conv_fwd_impl(x, tap_sets, corner_mode):
+    B = x.shape[0]
+    h, w = x.shape[2], x.shape[3]
+    cin = x.shape[-1]
+    dtype = x.dtype
+    n_sets = len(tap_sets)
+    couts = [t.shape[-1] for t, _ in tap_sets]
+    per_sample = 5 * h * w * (14 * cin + 4 * sum(couts)) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+    kernel = functools.partial(
+        _up_fwd_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
+        n_sets=n_sets, out_dtype=dtype,
+    )
+    in_specs = [_block((k, 5, h, w, cin))]
+    args = [x]
+    for taps, bias in tap_sets:
+        in_specs += [_full(), _block((1, taps.shape[-1]))]
+        args += [taps, _norm_bias(bias, taps.shape[-1], taps.dtype)]
+    out_shape, out_specs = [], []
+    for cout in couts:
+        for _ in range(4):
+            out_shape.append(jax.ShapeDtypeStruct((B, 5, h, w, cout), dtype))
+            out_specs.append(_block((k, 5, h, w, cout)))
+    flops = 2 * B * 5 * h * w * 4 * 7 * cin * sum(couts)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 5),
+    )(*args)
+    return [tuple(outs[i * 4 : (i + 1) * 4]) for i in range(n_sets)]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_up_dual_conv(x, taps_a, bias_a, taps_b, bias_b, corner_mode="average"):
+    """An UpBlock's upsample + both first convs, fused.
+
+    x: standard level-s tensor (B, 5, h, w, C_in). Returns two 4-tuples of
+    level-(s+1) phase tensors (B, 5, h, w, C_out) — one per tap set. The
+    upsampled tensor never reaches HBM; interleave the outputs with
+    ops.phase.phase_merge after the block's remaining elementwise work.
+    """
+    ya, yb = _up_conv_fwd_impl(x, [(taps_a, bias_a), (taps_b, bias_b)], corner_mode)
+    return ya, yb
+
+
+def _upd_fwd(x, taps_a, bias_a, taps_b, bias_b, corner_mode):
+    ya, yb = _up_conv_fwd_impl(x, [(taps_a, bias_a), (taps_b, bias_b)], corner_mode)
+    return (ya, yb), (x, taps_a, bias_a, taps_b, bias_b)
+
+
+def _upd_bwd(corner_mode, res, g):
+    x, taps_a, bias_a, taps_b, bias_b = res
+    ga, gb = g
+    B = x.shape[0]
+    h, w = x.shape[2], x.shape[3]
+    cin = x.shape[-1]
+    dtype = x.dtype
+    couts = [taps_a.shape[-1], taps_b.shape[-1]]
+    per_sample = 5 * h * w * (16 * cin + 4 * sum(couts)) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+
+    # dx: one kernel — conv transpose for both sets, phase-pad transpose,
+    # upsample transpose, pad transpose.
+    dx_kernel = functools.partial(
+        _up_dx_kernel, h=h, w=w, k=k, corner_mode=corner_mode, n_sets=2,
+        out_dtype=dtype,
+    )
+    in_specs = (
+        [_block((k, 5, h, w, couts[0]))] * 4
+        + [_block((k, 5, h, w, couts[1]))] * 4
+        + [_full(), _full()]
+    )
+    flops = 2 * B * 5 * h * w * 4 * 7 * cin * sum(couts)
+    dx = pl.pallas_call(
+        dx_kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=_block((k, 5, h, w, cin)),
+        out_shape=jax.ShapeDtypeStruct((B, 5, h, w, cin), dtype),
+        **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 5),
+    )(*ga, *gb, taps_a, taps_b)
+
+    # dtaps: one kernel for both sets, accumulated across the batch grid.
+    dt_kernel = functools.partial(
+        _up_dtaps_kernel, h=h, w=w, k=k, corner_mode=corner_mode, n_sets=2
+    )
+    in_specs = (
+        [_block((k, 5, h, w, cin))]
+        + [_block((k, 5, h, w, couts[0]))] * 4
+        + [_block((k, 5, h, w, couts[1]))] * 4
+    )
+    out_shape = [jax.ShapeDtypeStruct((7, cin, c), jnp.float32) for c in couts]
+    out_specs = [
+        pl.BlockSpec((7, cin, c), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
+        for c in couts
+    ]
+    dta, dtb = pl.pallas_call(
+        dt_kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * 4),
+    )(x, *ga, *gb)
+
+    dba = None if bias_a is None else _dbias(ga).astype(bias_a.dtype)
+    dbb = None if bias_b is None else _dbias(gb).astype(bias_b.dtype)
+    return dx, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype), dbb
+
+
+fused_up_dual_conv.defvjp(_upd_fwd, _upd_bwd)
