@@ -58,16 +58,24 @@ class IcoConvS2S(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, is_padded: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, *, is_padded: bool = False, get_params: bool = False
+    ):
         """Apply the conv. With ``is_padded=True`` the input is an already
         haloed ``(B, 5, h+2, w+2, C)`` tensor (lets residual blocks share one
-        `ico_pad` between their two stride branches)."""
+        `ico_pad` between their two stride branches). With
+        ``get_params=True``, declare and return ``(taps, bias)`` cast to the
+        compute dtype instead of applying — used by the fused block paths,
+        which feed several convs' taps into one Pallas kernel while keeping
+        this module as the parameter owner (checkpoint-compatible tree)."""
         cin = x.shape[-1]
         init = hex_uniform_init(7 * cin)
         taps = self.param("taps", init, (7, cin, self.features))
         bias = self.param("bias", init, (self.features,)) if self.use_bias else None
         x = x.astype(self.dtype)
         taps = taps.astype(self.dtype)
+        if get_params:
+            return taps, None if bias is None else bias.astype(self.dtype)
         # fused path: stride-1 only. The stride-2 kernel exists and is
         # numerically verified (tests/test_pallas_conv.py) but its parity
         # reshape sends Mosaic into multi-minute compiles, so stride-2
@@ -131,11 +139,27 @@ class IcoBatchNorm(nn.Module):
         return out.reshape(B, n, h, w, C)
 
 
+def _bn_phases(bn_module, phases):
+    """Apply one IcoBatchNorm to a 4-tuple of phase tensors by stacking
+    them along the chart-row axis: the moment reduction covers exactly the
+    same elements as the standard-layout grid, so statistics (and running
+    averages) match the unfused path."""
+    h = phases[0].shape[2]
+    cat = jnp.concatenate(list(phases), axis=2)  # (B, 5, 4h, w, C)
+    out = bn_module(cat)
+    return tuple(out[:, :, i * h : (i + 1) * h] for i in range(4))
+
+
 class DownBlock(nn.Module):
     """Residual down block (reference BasicIcoS2SDownBlock, models.py:22-40).
 
     branch0 = BN(conv_s1(relu(BN(conv_s2(x))))), branch1 = BN(conv_s2(x)),
     out = relu(branch0 + branch1). Maps subdivision s -> s-1.
+
+    Fused path (``use_pallas``): the input's four parity phases (XLA
+    slices) feed ONE Pallas kernel computing both stride-2 convs — the
+    stride-2 conv is output phase (1,0) of the phase-form hex conv, so its
+    output is already standard level-(s-1) layout (ops/phase.py).
     """
 
     features: int
@@ -148,20 +172,46 @@ class DownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from geniconet_tpu.ops.phase import phase_split
+        from geniconet_tpu.ops.pallas.phase_kernel import (
+            fused_dual_s2_conv,
+            phase_vmem_ok,
+        )
+
         kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_bias=self.use_bias,
                   use_pallas=self.use_pallas)
         bn = dict(use_running_average=not train, axis_name=self.axis_name, dtype=self.dtype)
         s = self.in_subdivisions
-        # both stride-2 branches read the same halo — pad once (stride-2
-        # convs stay on the XLA path; see IcoConvS2S)
-        src, padded = ico_pad(x.astype(self.dtype), s, self.corner_mode), True
-        b0 = IcoConvS2S(self.features, s, stride=2, name="conv00", **kw)(src, is_padded=padded)
-        b0 = IcoBatchNorm(name="bn00", **bn)(b0)
+        xd = x.astype(self.dtype)
+        h2, w2 = x.shape[2] // 2, x.shape[3] // 2
+        if (
+            self.use_pallas
+            and s >= 2
+            and phase_vmem_ok(h2, w2, x.shape[-1], self.features, n_sets=2)
+        ):
+            t00, b00 = IcoConvS2S(self.features, s, stride=2, name="conv00", **kw)(
+                xd, get_params=True
+            )
+            t10, b10 = IcoConvS2S(self.features, s, stride=2, name="conv10", **kw)(
+                xd, get_params=True
+            )
+            y00, y10 = fused_dual_s2_conv(
+                phase_split(xd), t00, b00, t10, b10, self.corner_mode
+            )
+        else:
+            # both stride-2 branches read the same halo — pad once
+            src = ico_pad(xd, s, self.corner_mode)
+            y00 = IcoConvS2S(self.features, s, stride=2, name="conv00", **kw)(
+                src, is_padded=True
+            )
+            y10 = IcoConvS2S(self.features, s, stride=2, name="conv10", **kw)(
+                src, is_padded=True
+            )
+        b0 = IcoBatchNorm(name="bn00", **bn)(y00)
         b0 = nn.relu(b0)
         b0 = IcoConvS2S(self.features, s - 1, stride=1, name="conv01", **kw)(b0)
         b0 = IcoBatchNorm(name="bn01", **bn)(b0)
-        b1 = IcoConvS2S(self.features, s, stride=2, name="conv10", **kw)(src, is_padded=padded)
-        b1 = IcoBatchNorm(name="bn10", **bn)(b1)
+        b1 = IcoBatchNorm(name="bn10", **bn)(y10)
         return nn.relu(b0 + b1)
 
 
@@ -183,28 +233,52 @@ class UpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from geniconet_tpu.ops.phase import phase_merge
+        from geniconet_tpu.ops.pallas.phase_kernel import (
+            fused_phase_conv_s1,
+            fused_up_dual_conv,
+            phase_vmem_ok,
+        )
+
         kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_bias=self.use_bias,
                   use_pallas=self.use_pallas)
         bn = dict(use_running_average=not train, axis_name=self.axis_name, dtype=self.dtype)
         s = self.in_subdivisions
-        up = ico_upsample_s2s(x.astype(self.dtype), s, self.corner_mode)
-        from geniconet_tpu.ops.pallas.conv_kernel import fused_vmem_ok
+        xd = x.astype(self.dtype)
+        h, w = x.shape[2], x.shape[3]  # == phase shape of the s+1 grid
+        if (
+            self.use_pallas
+            and phase_vmem_ok(h, w, x.shape[-1], self.features, n_sets=2)
+        ):
+            # whole block in phase form: upsample + both first convs fused
+            # (the 4x-sized upsampled tensor never reaches HBM), second conv
+            # consumes/produces phases, ONE interleave at the output in XLA.
+            t00, b00 = IcoConvS2S(self.features, s + 1, stride=1, name="conv00", **kw)(
+                xd, get_params=True
+            )
+            t10, b10 = IcoConvS2S(self.features, s + 1, stride=1, name="conv10", **kw)(
+                xd, get_params=True
+            )
+            y00, y10 = fused_up_dual_conv(xd, t00, b00, t10, b10, self.corner_mode)
+            b0 = _bn_phases(IcoBatchNorm(name="bn00", **bn), y00)
+            b0 = tuple(nn.relu(p) for p in b0)
+            t01, b01 = IcoConvS2S(self.features, s + 1, stride=1, name="conv01", **kw)(
+                b0[0], get_params=True
+            )
+            b0 = fused_phase_conv_s1(b0, t01, b01, self.corner_mode)
+            b0 = _bn_phases(IcoBatchNorm(name="bn01", **bn), b0)
+            b1 = _bn_phases(IcoBatchNorm(name="bn10", **bn), y10)
+            return phase_merge(tuple(nn.relu(a + b) for a, b in zip(b0, b1)))
 
-        will_fuse = self.use_pallas and fused_vmem_ok(
-            s + 1, up.shape[-1], self.features, jnp.dtype(self.dtype).itemsize
-        )
-        if will_fuse:
-            # fused kernels build their halo in VMEM — no HBM pre-pad
-            src, padded = up, False
-        else:
-            # both branches read the same upsampled halo — pad once (also the
-            # route when the fused kernel would exceed scoped VMEM at s>=6)
-            src, padded = ico_pad(up, s + 1, self.corner_mode), True
-        b0 = IcoConvS2S(self.features, s + 1, stride=1, name="conv00", **kw)(src, is_padded=padded)
+        up = ico_upsample_s2s(xd, s, self.corner_mode)
+        # both branches read the same upsampled halo — pad once (the route
+        # when the fused kernels would exceed scoped VMEM at s>=6)
+        src = ico_pad(up, s + 1, self.corner_mode)
+        b0 = IcoConvS2S(self.features, s + 1, stride=1, name="conv00", **kw)(src, is_padded=True)
         b0 = IcoBatchNorm(name="bn00", **bn)(b0)
         b0 = nn.relu(b0)
         b0 = IcoConvS2S(self.features, s + 1, stride=1, name="conv01", **kw)(b0)
         b0 = IcoBatchNorm(name="bn01", **bn)(b0)
-        b1 = IcoConvS2S(self.features, s + 1, stride=1, name="conv10", **kw)(src, is_padded=padded)
+        b1 = IcoConvS2S(self.features, s + 1, stride=1, name="conv10", **kw)(src, is_padded=True)
         b1 = IcoBatchNorm(name="bn10", **bn)(b1)
         return nn.relu(b0 + b1)
