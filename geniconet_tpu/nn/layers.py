@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from geniconet_tpu.ops.conv import ico_conv_s2s, ico_conv_s2s_padded, taps_to_kernel
@@ -111,11 +112,66 @@ class IcoConvS2S(nn.Module):
         return y
 
 
+class _PhaseBN(nn.Module):
+    """nn.BatchNorm semantics over a 4-tuple of phase tensors, without
+    materializing their concatenation (which showed up as ~3 ms/step of
+    pure layout copies in the round-2 step trace). The phases partition
+    the grid into equal-size sets, so the batch moments are the average of
+    the per-phase moments — the same statistics, computed as four fused
+    reductions. Variable tree matches nn.BatchNorm exactly (float32
+    scale/bias params, batch_stats mean/var, momentum 0.9, eps 1e-5, fast
+    variance with non-negativity clip, float32 reductions, optional
+    ``axis_name`` pmean), so fused and unfused paths share checkpoints."""
+
+    use_running_average: bool
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, phases):
+        C = phases[0].shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (C,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (C,)
+        )
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(phases[0].ndim - 1))
+            k = float(len(phases))
+            mean = sum(p.astype(jnp.float32).mean(axes) for p in phases) / k
+            mean2 = (
+                sum(jnp.square(p.astype(jnp.float32)).mean(axes) for p in phases)
+                / k
+            )
+            if self.axis_name is not None and not self.is_initializing():
+                stacked = jax.lax.pmean(jnp.stack([mean, mean2]), self.axis_name)
+                mean, mean2 = stacked[0], stacked[1]
+            var = jnp.maximum(0.0, mean2 - jnp.square(mean))
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        return tuple(((p - mean) * mul + bias).astype(self.dtype) for p in phases)
+
+
 class IcoBatchNorm(nn.Module):
     """BatchNorm2d equivalent (torch defaults: eps 1e-5, running momentum 0.1).
 
     ``axis_name`` enables cross-replica moment reduction under shard_map/pmap
-    so data-parallel training uses global batch statistics.
+    so data-parallel training uses global batch statistics. Accepts either a
+    standard ``(B, 5, h, w, C)`` grid or a 4-tuple of phase tensors (the
+    fused block paths) — both share the same variable tree and statistics.
     """
 
     use_running_average: Optional[bool] = None
@@ -123,10 +179,17 @@ class IcoBatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, use_running_average: Optional[bool] = None):
+    def __call__(self, x, use_running_average: Optional[bool] = None):
         ura = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
+        if isinstance(x, (tuple, list)):
+            return _PhaseBN(
+                use_running_average=ura,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                name="BatchNorm_0",
+            )(tuple(x))
         B, n, h, w, C = x.shape
         flat = x.reshape(B, n * h, w, C)
         out = nn.BatchNorm(
@@ -137,17 +200,6 @@ class IcoBatchNorm(nn.Module):
             axis_name=self.axis_name,
         )(flat)
         return out.reshape(B, n, h, w, C)
-
-
-def _bn_phases(bn_module, phases):
-    """Apply one IcoBatchNorm to a 4-tuple of phase tensors by stacking
-    them along the chart-row axis: the moment reduction covers exactly the
-    same elements as the standard-layout grid, so statistics (and running
-    averages) match the unfused path."""
-    h = phases[0].shape[2]
-    cat = jnp.concatenate(list(phases), axis=2)  # (B, 5, 4h, w, C)
-    out = bn_module(cat)
-    return tuple(out[:, :, i * h : (i + 1) * h] for i in range(4))
 
 
 class DownBlock(nn.Module):
@@ -260,14 +312,14 @@ class UpBlock(nn.Module):
                 xd, get_params=True
             )
             y00, y10 = fused_up_dual_conv(xd, t00, b00, t10, b10, self.corner_mode)
-            b0 = _bn_phases(IcoBatchNorm(name="bn00", **bn), y00)
+            b0 = IcoBatchNorm(name="bn00", **bn)(y00)
             b0 = tuple(nn.relu(p) for p in b0)
             t01, b01 = IcoConvS2S(self.features, s + 1, stride=1, name="conv01", **kw)(
                 b0[0], get_params=True
             )
             b0 = fused_phase_conv_s1(b0, t01, b01, self.corner_mode)
-            b0 = _bn_phases(IcoBatchNorm(name="bn01", **bn), b0)
-            b1 = _bn_phases(IcoBatchNorm(name="bn10", **bn), y10)
+            b0 = IcoBatchNorm(name="bn01", **bn)(b0)
+            b1 = IcoBatchNorm(name="bn10", **bn)(y10)
             return phase_merge(tuple(nn.relu(a + b) for a, b in zip(b0, b1)))
 
         up = ico_upsample_s2s(xd, s, self.corner_mode)
