@@ -225,32 +225,44 @@ def _upsample_transpose(dphases, h, w):
     return dP
 
 
+def _cat_taps(w_refs):
+    """Pack every set's taps along the lane (C_out) dimension, so a
+    dual-conv kernel runs ONE matmul per tap with N = ΣC_out — at the
+    decoder's widest block this turns two N=64 matmuls into one N=128,
+    filling the MXU lanes."""
+    if len(w_refs) == 1:
+        return w_refs[0][...]
+    return jnp.concatenate([w[...] for w in w_refs], axis=2)
+
+
 def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
-    """Shared forward contraction: for each tap set, stack the requested
-    output phases along rows so each tap is one MXU matmul. Returns a list
-    (per set) of lists (per out phase) of (k, 5, h, w, cout) arrays."""
+    """Shared forward contraction: output phases stack along rows (M) and
+    tap sets pack along lanes (N), so each tap is one MXU matmul. Returns
+    a list (per set) of lists (per out phase) of (k, 5, h, w, cout)."""
     n = k * 5
     rows = n * h * w
     cin = padded[0].shape[-1]
     n_out = len(out_phases)
-    results = []
-    for w_ref, b_ref in zip(w_refs, b_refs):
-        cout = w_ref.shape[-1]
-        acc = jnp.zeros((n_out * rows, cout), jnp.float32)
-        for t in range(7):
-            sls = [
-                padded[_TABLE[p][t][0]][
-                    :, _TABLE[p][t][1] : _TABLE[p][t][1] + h,
-                    _TABLE[p][t][2] : _TABLE[p][t][2] + w, :
-                ]
-                for p in out_phases
+    couts = [w_ref.shape[-1] for w_ref in w_refs]
+    w_cat = _cat_taps(w_refs)
+    acc = jnp.zeros((n_out * rows, sum(couts)), jnp.float32)
+    for t in range(7):
+        sls = [
+            padded[_TABLE[p][t][0]][
+                :, _TABLE[p][t][1] : _TABLE[p][t][1] + h,
+                _TABLE[p][t][2] : _TABLE[p][t][2] + w, :
             ]
-            stacked = jnp.concatenate(sls, axis=0).reshape(n_out * rows, cin)
-            acc += jnp.dot(stacked, w_ref[t], preferred_element_type=jnp.float32)
-        acc += b_ref[0].astype(jnp.float32)
+            for p in out_phases
+        ]
+        stacked = jnp.concatenate(sls, axis=0).reshape(n_out * rows, cin)
+        acc += jnp.dot(stacked, w_cat[t], preferred_element_type=jnp.float32)
+    results, off = [], 0
+    for b_ref, cout in zip(b_refs, couts):
+        a = acc[:, off : off + cout] + b_ref[0].astype(jnp.float32)
+        off += cout
         results.append(
             [
-                acc[i * rows : (i + 1) * rows]
+                a[i * rows : (i + 1) * rows]
                 .reshape(k, 5, h, w, cout)
                 .astype(out_dtype)
                 for i in range(n_out)
@@ -273,16 +285,16 @@ def _dpad_accumulate(g_groups, w_refs, out_phases, h, w, k, cin):
             .reshape(n_out * rows, cout)
             .astype(jnp.float32)
         )
+    # pack sets along the contraction dim: Σ_sets g_s·W_sᵀ == g_cat·w_catᵀ
+    g_cat = g_stacks[0] if len(g_stacks) == 1 else jnp.concatenate(g_stacks, axis=1)
+    w_cat = _cat_taps(w_refs).astype(jnp.float32)
     dpad = [jnp.zeros((n, h + 1, w + 1, cin), jnp.float32) for _ in range(4)]
     for t in range(7):
-        contrib = None
-        for g_stack, w_ref in zip(g_stacks, w_refs):
-            term = jax.lax.dot_general(
-                g_stack, w_ref[t].astype(jnp.float32),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            contrib = term if contrib is None else contrib + term
+        contrib = jax.lax.dot_general(
+            g_cat, w_cat[t],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         for i, p in enumerate(out_phases):
             p_in, rs, cs = _TABLE[p][t]
             c_p = contrib[i * rows : (i + 1) * rows].reshape(n, h, w, cin)
@@ -307,6 +319,9 @@ def _dtaps_accumulate(padded, g_groups, o_refs, out_phases, h, w, k, is_first):
         .astype(jnp.float32)
         for g_refs in g_groups
     ]
+    # pack sets along lanes: one (cin, Σcout) matmul per tap, split after
+    g_cat = g_stacks[0] if len(g_stacks) == 1 else jnp.concatenate(g_stacks, axis=1)
+    couts = [g[0].shape[-1] for g in g_groups]
     for t in range(7):
         sls = [
             padded[_TABLE[p][t][0]][
@@ -318,12 +333,15 @@ def _dtaps_accumulate(padded, g_groups, o_refs, out_phases, h, w, k, is_first):
         stacked = (
             jnp.concatenate(sls, axis=0).reshape(n_out * rows, cin).astype(jnp.float32)
         )
-        for o_ref, g_stack in zip(o_refs, g_stacks):
-            o_ref[t] += jax.lax.dot_general(
-                stacked, g_stack,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        dt_cat = jax.lax.dot_general(
+            stacked, g_cat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        off = 0
+        for o_ref, cout in zip(o_refs, couts):
+            o_ref[t] += dt_cat[:, off : off + cout]
+            off += cout
 
 
 # ---------------------------------------------------------------------------
