@@ -2,12 +2,15 @@
 
 Runs on whatever accelerator `jax.devices()` provides (the real TPU chip
 under the driver). Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-The reference publishes no numbers (BASELINE.md), so the baseline anchor is
-this framework's first recorded measurement (stored in BASELINE.md); until a
-reference-GPU measurement exists, vs_baseline is reported against the
-round-1 anchor below.
+`value` is the resident-batch step throughput (device compute only, batch
+already in HBM). `epoch_loop_value` is the full host-loop throughput for the
+same step INCLUDING per-batch host slicing + device_put — the honest
+end-to-end number. The reference publishes no numbers (BASELINE.md), so
+`vs_baseline` is measured against this framework's first recorded fp32/XLA
+measurement (round-1 anchor below); the ≥5x north-star target against that
+anchor is 2455.95 meshes/s (`target_value`).
 """
 
 import json
@@ -21,6 +24,7 @@ import numpy as np
 # Round-1 anchor (meshes/sec/chip, ico2ico I5 train bs=36, fp32), measured
 # 2026-08-16 on one TPU v5e chip via tunnel; see BASELINE.md.
 BASELINE_MESHES_PER_SEC = 491.19  # round-1 fp32/XLA anchor (see BASELINE.md)
+TARGET_5X = 5 * BASELINE_MESHES_PER_SEC  # BASELINE.json north star
 
 
 def build():
@@ -38,12 +42,11 @@ def build():
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.use_pallas = True
     cfg.train.log_grad_freq = 0
-    ds = synthetic_dataset(5, 36, seed=0)
+    ds = synthetic_dataset(5, 180, seed=0)  # 5 batches/epoch for the host loop
     trainer = Trainer(cfg)
     state = trainer.init_state(ds.inputs[:1])
     batches = Batches(ds, 36, shuffle=False)
-    x, y, wt = next(iter(batches.epoch()))
-    return trainer, state, (x, y, wt)
+    return trainer, state, batches
 
 
 def main():
@@ -51,7 +54,8 @@ def main():
 
     enable_compilation_cache()
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    trainer, state, (x, y, wt) = build()
+    trainer, state, batches = build()
+    x, y, wt = next(iter(batches.epoch()))
 
     # warmup / compile. NOTE: sync via device_get — block_until_ready does
     # not reliably wait on tunneled backends.
@@ -60,27 +64,52 @@ def main():
     float(jax.device_get(metrics["total"]))
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    # timed steps: dispatch a pipelined window, hard-sync on the final loss
+    # (a) resident-batch: dispatch a pipelined window, hard-sync on the final
+    # loss. Excludes host slicing/device_put — pure device step time.
     steps = 30
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics, _, _ = trainer._jit_train_step(state, x, y, wt, 0)
     loss = float(jax.device_get(metrics["total"]))
     dt = time.perf_counter() - t0
-    meshes_per_sec = 36 * steps / dt
+    resident = 36 * steps / dt
     print(
-        f"{steps} steps in {dt:.3f}s -> {meshes_per_sec:.1f} meshes/s (loss {loss:.5f})",
+        f"resident-batch: {steps} steps in {dt:.3f}s -> {resident:.1f} meshes/s "
+        f"(loss {loss:.5f})",
         file=sys.stderr,
     )
 
-    vs = 1.0 if BASELINE_MESHES_PER_SEC is None else meshes_per_sec / BASELINE_MESHES_PER_SEC
+    # (b) epoch loop: the real host pipeline (shuffle-order slices +
+    # device_put + one-deep prefetch), synced once per epoch window.
+    epochs = 6
+    n_meshes = 0
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        for xb, yb, wb in batches.epoch():
+            state, metrics, _, _ = trainer._jit_train_step(state, xb, yb, wb, 0)
+            n_meshes += xb.shape[0]
+    loss = float(jax.device_get(metrics["total"]))
+    dt = time.perf_counter() - t0
+    epoch_loop = n_meshes / dt
+    print(
+        f"epoch-loop (incl. device_put): {n_meshes} meshes in {dt:.3f}s -> "
+        f"{epoch_loop:.1f} meshes/s (loss {loss:.5f})",
+        file=sys.stderr,
+    )
+
+    vs = resident / BASELINE_MESHES_PER_SEC
     print(
         json.dumps(
             {
                 "metric": "meshes/sec/chip train (ico2ico I5, bs36)",
-                "value": round(meshes_per_sec, 2),
+                "value": round(resident, 2),
                 "unit": "meshes/s",
                 "vs_baseline": round(vs, 3),
+                "epoch_loop_value": round(epoch_loop, 2),
+                "target_value": round(TARGET_5X, 2),
+                "note": "value=resident-batch step; epoch_loop_value includes "
+                        "host slicing+device_put; target_value = 5x round-1 "
+                        "fp32 anchor (BASELINE.md)",
             }
         )
     )

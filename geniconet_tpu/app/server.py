@@ -60,6 +60,18 @@ def _check_path(path: str) -> str:
     )
 
 
+def _unique_path(path: str) -> str:
+    """Collision-free renaming: foo.off exists -> foo_1.off, foo_2.off, ...
+    (reference save_figure semantics, visualizer_utils.py:163-192)."""
+    if not os.path.exists(path):
+        return path
+    base, ext = os.path.splitext(path)
+    k = 1
+    while os.path.exists(f"{base}_{k}{ext}"):
+        k += 1
+    return f"{base}_{k}{ext}"
+
+
 def _mesh_payload(vertices: np.ndarray, faces: np.ndarray, colors: np.ndarray):
     return {
         "vertices": np.asarray(vertices, np.float32).round(5).ravel().tolist(),
@@ -157,13 +169,26 @@ def handle_api(path: str, body: dict) -> dict:
         colors = np.tile(np.array([0.62, 0.66, 0.72], np.float32), (len(v), 1))
         return _mesh_payload(v, f, colors)
     if path == "/api/export":
+        # fmt 'off' = mesh file; fmt 'fig' = the complete renderable figure
+        # object (vertices/faces/colors/coloring) as JSON — the reference's
+        # plotly .pkl figure export equivalent (visualizer_utils.py:163-192).
+        # Existing files are never overwritten (collision-free renaming).
         i = int(body["i"])
+        fmt = body.get("fmt", "off")
         v = st.reconstruct(i)
         out_dir = body.get("dir", os.path.join(st.cfg.model_log_dir(), "export"))
         out_dir = _check_path(out_dir)
         os.makedirs(out_dir, exist_ok=True)
-        p = os.path.join(out_dir, f"{st.dataset.names[i]}_recon.off")
-        write_off(p, v, faces)
+        if fmt == "fig":
+            fig = _mesh_payload(v, faces, st.colorize(v, coloring))
+            fig["coloring"] = coloring
+            fig["name"] = st.dataset.names[i]
+            p = _unique_path(os.path.join(out_dir, f"{st.dataset.names[i]}_recon.fig.json"))
+            with open(p, "w") as f:
+                json.dump(fig, f)
+        else:
+            p = _unique_path(os.path.join(out_dir, f"{st.dataset.names[i]}_recon.off"))
+            write_off(p, v, faces)
         return {"path": p}
     raise ValueError(f"unknown endpoint {path}")
 

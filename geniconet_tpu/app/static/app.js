@@ -74,39 +74,91 @@ async function init() {
   status("ready");
 }
 
+// 3-D PCA scatter with class colors + drag rotation (reference
+// visualizer_utils.py:123-161 create_3d_figure parity): points are rotated
+// by yaw/pitch, depth-sorted, and drawn with perspective size/alpha cues;
+// a click (without drag) decodes the nearest latent in full 3-D space.
+const pcaView = { yaw: 0.6, pitch: 0.35 };
 async function drawPCA() {
-  PCA = await api("/api/pca", {});
+  if (!PCA) PCA = await api("/api/pca", {});
   const cv = $("pcaCanvas"), ctx = cv.getContext("2d");
   ctx.clearRect(0, 0, cv.width, cv.height);
   const pts = PCA.points;
-  const xs = pts.map(p => p[0]), ys = pts.map(p => p[1]);
-  const xmin = Math.min(...xs), xmax = Math.max(...xs);
-  const ymin = Math.min(...ys), ymax = Math.max(...ys);
+  // center + scale once
+  if (!PCA._norm) {
+    const c = [0, 1, 2].map(a => pts.reduce((s, p) => s + p[a], 0) / pts.length);
+    let r = 0;
+    pts.forEach(p => { r = Math.max(r, Math.hypot(p[0] - c[0], p[1] - c[1], p[2] - c[2])); });
+    PCA._norm = { c, r: r + 1e-9 };
+  }
+  const { c, r } = PCA._norm;
+  const cy = Math.cos(pcaView.yaw), sy = Math.sin(pcaView.yaw);
+  const cp = Math.cos(pcaView.pitch), sp = Math.sin(pcaView.pitch);
   const classes = [...new Set(PCA.classes)];
   const palette = ["#d45e00", "#009e73", "#56b4e9", "#f0e442", "#cc79a7", "#0072b2", "#e69f00"];
+  const half = Math.min(cv.width, cv.height) / 2 - 14;
+  // rotate, project, depth-sort (painter's order)
   PCA._screen = pts.map((p, k) => {
-    const x = 15 + (p[0] - xmin) / (xmax - xmin + 1e-9) * (cv.width - 30);
-    const y = 15 + (p[1] - ymin) / (ymax - ymin + 1e-9) * (cv.height - 30);
-    ctx.fillStyle = palette[classes.indexOf(PCA.classes[k]) % palette.length];
-    ctx.beginPath(); ctx.arc(x, y, 4, 0, 6.3); ctx.fill();
-    return [x, y];
+    const x0 = (p[0] - c[0]) / r, y0 = (p[1] - c[1]) / r, z0 = (p[2] - c[2]) / r;
+    const x1 = cy * x0 + sy * z0, z1 = -sy * x0 + cy * z0;       // yaw
+    const y2 = cp * y0 - sp * z1, z2 = sp * y0 + cp * z1;        // pitch
+    const persp = 1.6 / (2.4 - z2);
+    return { k, x: cv.width / 2 + x1 * half * persp, y: cv.height / 2 - y2 * half * persp, z: z2 };
+  }).sort((a, b) => a.z - b.z);
+  // faint axis tripod for orientation
+  ctx.strokeStyle = "#444"; ctx.lineWidth = 1;
+  [[1, 0, 0], [0, 1, 0], [0, 0, 1]].forEach(ax => {
+    const x1 = cy * ax[0] + sy * ax[2], z1 = -sy * ax[0] + cy * ax[2];
+    const y2 = cp * ax[1] - sp * z1;
+    ctx.beginPath(); ctx.moveTo(cv.width / 2, cv.height / 2);
+    ctx.lineTo(cv.width / 2 + x1 * half * 0.5, cv.height / 2 - y2 * half * 0.5); ctx.stroke();
   });
-  cv.onclick = async (e) => {
-    const r = cv.getBoundingClientRect();
-    const mx = e.clientX - r.left, my = e.clientY - r.top;
-    // invert to PCA plane (z=component 3 of nearest screen point)
-    let best = 0, bd = 1e9;
-    PCA._screen.forEach(([x, y], k) => {
-      const d = (x - mx) ** 2 + (y - my) ** 2;
-      if (d < bd) { bd = d; best = k; }
+  PCA._screen.forEach(s => {
+    const depth = (s.z + 1) / 2;  // 0 far .. 1 near
+    ctx.globalAlpha = 0.45 + 0.55 * depth;
+    ctx.fillStyle = palette[classes.indexOf(PCA.classes[s.k]) % palette.length];
+    ctx.beginPath(); ctx.arc(s.x, s.y, 2.5 + 2.5 * depth, 0, 6.3); ctx.fill();
+  });
+  ctx.globalAlpha = 1;
+  // class legend
+  classes.forEach((cl, j) => {
+    ctx.fillStyle = palette[j % palette.length];
+    ctx.fillRect(6, 8 + 14 * j, 9, 9);
+    ctx.fillStyle = "#ccc"; ctx.font = "10px sans-serif";
+    ctx.fillText(cl, 19, 16 + 14 * j);
+  });
+
+  if (cv._pcaWired) return;
+  cv._pcaWired = true;
+  let drag = null;
+  cv.onmousedown = (e) => { drag = { x: e.clientX, y: e.clientY, moved: false }; };
+  window.addEventListener("mousemove", (e) => {
+    if (!drag) return;
+    const dx = e.clientX - drag.x, dy = e.clientY - drag.y;
+    if (Math.abs(dx) + Math.abs(dy) > 2) drag.moved = true;
+    pcaView.yaw += dx * 0.012;
+    pcaView.pitch = Math.max(-1.5, Math.min(1.5, pcaView.pitch + dy * 0.012));
+    drag.x = e.clientX; drag.y = e.clientY;
+    drawPCA();
+  });
+  window.addEventListener("mouseup", async (e) => {
+    if (!drag) return;
+    const wasClick = !drag.moved;
+    drag = null;
+    if (!wasClick) return;
+    const rct = cv.getBoundingClientRect();
+    const mx = e.clientX - rct.left, my = e.clientY - rct.top;
+    let best = -1, bd = 400;  // require a hit within 20px
+    PCA._screen.forEach(s => {
+      const d = (s.x - mx) ** 2 + (s.y - my) ** 2;
+      if (d < bd) { bd = d; best = s.k; }
     });
-    const px = xmin + (mx - 15) / (cv.width - 30) * (xmax - xmin);
-    const py = ymin + (my - 15) / (cv.height - 30) * (ymax - ymin);
-    const m = await api("/api/pca_decode", { p: [px, py, pts[best][2]], coloring: coloring() });
+    if (best < 0) return;
+    const m = await api("/api/pca_decode", { p: PCA.points[best], coloring: coloring() });
     $("paneTitleB").textContent = `PCA-NN decode — ${m.name}`;
     showMesh(viewerB, m);
     status(`decoded nearest latent: ${m.name}`);
-  };
+  });
 }
 
 // ---- control wiring ----
@@ -177,6 +229,15 @@ $("btnExport").onclick = async () => {
   const r = await api("/api/export", { i: selI() });
   status("exported: " + r.path);
 };
+
+// server-side figure-object export (the plotly .pkl equivalent)
+const figBtn = document.createElement("button");
+figBtn.textContent = "export .fig.json";
+figBtn.onclick = async () => {
+  const r = await api("/api/export", { i: selI(), fmt: "fig", coloring: coloring() });
+  status("exported figure: " + r.path);
+};
+$("btnExport").after(figBtn);
 
 // client-side PNG export of the output pane (kaleido-free figure export)
 const pngBtn = document.createElement("button");

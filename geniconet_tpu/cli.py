@@ -71,8 +71,10 @@ def experiment_train(cfg: Config):
 
     print(f"[train] optimizable parameters: {count_params(state.params)}")
 
-    # model summary saved at train start (torchsummary parity, run.py:427-430)
+    # model summary + graph drawing saved at train start (torchsummary
+    # summary_string/draw_graph parity, reference run.py:427-430)
     try:
+        from geniconet_tpu.train.summary import model_graph_dot
 
         rngs = {"params": jax.random.key(0)}
         if cfg.model.is_vae:
@@ -81,6 +83,9 @@ def experiment_train(cfg: Config):
         with open(os.path.join(log_dir, f"train_{cfg.model.name}_summary.txt"), "w") as f:
             f.write(summ)
         logger.text("model_summary", summ)
+        dot = model_graph_dot(trainer.model, trn_ds.inputs[:1], rngs)
+        with open(os.path.join(log_dir, f"train_{cfg.model.name}_graph.dot"), "w") as f:
+            f.write(dot)
     except Exception as e:
         print(f"[train] summary skipped: {e}")
 
@@ -142,18 +147,37 @@ def experiment_encode(cfg: Config):
     return infos
 
 
+def _test_dataset(cfg: Config):
+    s = cfg.model.subdivisions
+    if cfg.data.synthetic:
+        return synthetic_dataset(s, cfg.data.synthetic, seed=cfg.data.synthetic_seed + 1)
+    return IcoDataset.from_directory(
+        cfg.data.data_dir, s, cfg.data.layout_level, "val",
+        cfg.data.ext, cfg.train.quick_learn,
+    )
+
+
 def experiment_test(cfg: Config):
     from geniconet_tpu.eval.test_driver import run_test
 
-    s = cfg.model.subdivisions
+    return run_test(cfg, _test_dataset(cfg))
+
+
+def experiment_decode(cfg: Config):
+    """Decode an enc-npz directory through the decoder half (reference
+    enc2ico flow, data.py:121-148) — distances vs the val dataset when one
+    is available."""
+    from geniconet_tpu.eval.test_driver import run_decode
+
+    ref = None
     if cfg.data.synthetic:
-        ds = synthetic_dataset(s, cfg.data.synthetic, seed=cfg.data.synthetic_seed + 1)
-    else:
-        ds = IcoDataset.from_directory(
-            cfg.data.data_dir, s, cfg.data.layout_level, "val",
-            cfg.data.ext, cfg.train.quick_learn,
+        # the same dataset --process encode encoded (AppState.load seed)
+        ref = synthetic_dataset(
+            cfg.model.subdivisions, cfg.data.synthetic, seed=cfg.data.synthetic_seed
         )
-    return run_test(cfg, ds)
+    elif cfg.data.data_dir:
+        ref = _test_dataset(cfg)
+    return run_decode(cfg, ref)
 
 
 def main(argv=None):
@@ -165,6 +189,8 @@ def main(argv=None):
         experiment_train(cfg)
     elif cfg.process == "encode":
         experiment_encode(cfg)
+    elif cfg.process == "decode":
+        experiment_decode(cfg)
     else:
         experiment_test(cfg)
 

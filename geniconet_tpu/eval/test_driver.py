@@ -25,7 +25,32 @@ from geniconet_tpu.train import checkpoint as ckpt
 from geniconet_tpu.train.config import Config
 from geniconet_tpu.train.trainer import Trainer
 
-__all__ = ["run_test", "save_distances"]
+__all__ = ["run_test", "run_decode", "save_distances", "resolve_checkpoint"]
+
+
+def resolve_checkpoint(cfg: Config) -> str:
+    """Map cfg.test_epoch to a checkpoint path (reference run.py:343-349:
+    0 -> latest best EB, 'B<ep>' -> that best epoch, int -> periodic save)."""
+    name = cfg.model.name
+    ckpt_dir = os.path.join(cfg.model_log_dir(), "savedModel")
+    ep = cfg.test_epoch
+    if str(ep) in ("0", ""):
+        epoch = ckpt.latest_best_epoch(ckpt_dir, name)
+        if epoch is None:
+            raise FileNotFoundError(f"no EB checkpoints under {ckpt_dir}")
+        return ckpt.checkpoint_path(ckpt_dir, name, epoch, best=True)
+    if str(ep).startswith("B"):
+        return ckpt.checkpoint_path(ckpt_dir, name, int(str(ep)[1:]), best=True)
+    return ckpt.checkpoint_path(ckpt_dir, name, int(ep), best=False)
+
+
+def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
+    """Zero-pad axis 0 to length n (fixed batch shape -> one jit
+    specialization even for a ragged tail batch)."""
+    if arr.shape[0] == n:
+        return arr
+    pad = np.zeros((n - arr.shape[0], *arr.shape[1:]), arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
 
 
 def save_distances(name_dist_pairs, path: str):
@@ -63,24 +88,56 @@ def save_distances(name_dist_pairs, path: str):
     return float(dists.mean()), float(dists.std()), float(np.median(dists))
 
 
+def _batched_distances(cfg: Config, pred_v: np.ndarray, ref_v: np.ndarray,
+                       faces: jnp.ndarray, dist_fn) -> np.ndarray:
+    """Per-mesh mean distance for a whole batch with ONE device dispatch."""
+    if cfg.test_mode == "point2mesh":
+        return np.asarray(dist_fn(jnp.asarray(pred_v), jnp.asarray(ref_v)))
+    if cfg.test_mode == "point2point":
+        return np.mean(np.linalg.norm(pred_v - ref_v, axis=-1), axis=-1)
+    raise ValueError(f"unknown test_mode {cfg.test_mode}")
+
+
+def _eval_vertex_batches(cfg: Config, infer, inputs: np.ndarray, names,
+                         targets: np.ndarray, out_dir: str | None):
+    """Shared test/decode loop: fixed-shape batches (tail zero-padded so the
+    jit never re-specializes on a ragged shape — reference gap VERDICT weak#5),
+    batched per-mesh distances, optional .off dump."""
+    s = cfg.model.subdivisions
+    faces_np = ico.get_ico_faces(s)
+    faces = jnp.asarray(faces_np)
+    bs = min(cfg.train.batch_size, len(names))
+
+    @jax.jit
+    def dist_fn(pv, rv):
+        # vmap over meshes: (b, V, 3) x (b, V, 3) -> (b,) mean sq point2mesh
+        return jax.vmap(
+            lambda p, r: jnp.mean(point_to_mesh_distance(p, r, faces))
+        )(pv, rv)
+
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+    pairs = []
+    for i0 in range(0, len(names), bs):
+        nb = min(bs, len(names) - i0)
+        x = jnp.asarray(_pad_to(inputs[i0 : i0 + bs], bs))
+        pred_v = np.asarray(infer(x))[:nb]  # (nb, V, 3)
+        ref_v = _pad_to(targets[i0 : i0 + bs, :, :3], bs)
+        d = _batched_distances(cfg, _pad_to(pred_v, bs), ref_v, faces, dist_fn)[:nb]
+        for k in range(nb):
+            pairs.append((names[i0 + k], float(d[k])))
+            if out_dir is not None:
+                write_off(
+                    os.path.join(out_dir, names[i0 + k] + ".off"), pred_v[k], faces_np
+                )
+    return pairs
+
+
 def run_test(cfg: Config, dataset: IcoDataset, write_meshes: bool = True):
     """Evaluate a trained model; returns (name, distance) pairs + stats."""
     s = cfg.model.subdivisions
     name = cfg.model.name
-    ckpt_dir = os.path.join(cfg.model_log_dir(), "savedModel")
-
-    # resolve checkpoint: 0 -> latest best (reference run.py:343-349)
-    ep = cfg.test_epoch
-    if str(ep) in ("0", ""):
-        epoch = ckpt.latest_best_epoch(ckpt_dir, name)
-        if epoch is None:
-            raise FileNotFoundError(f"no EB checkpoints under {ckpt_dir}")
-        path = ckpt.checkpoint_path(ckpt_dir, name, epoch, best=True)
-    elif str(ep).startswith("B"):
-        path = ckpt.checkpoint_path(ckpt_dir, name, int(str(ep)[1:]), best=True)
-    else:
-        path = ckpt.checkpoint_path(ckpt_dir, name, int(ep), best=False)
-
+    path = resolve_checkpoint(cfg)
     trainer = Trainer(cfg)
     state = trainer.init_state(dataset.inputs[:1], seed=cfg.train.seed)
     state, epoch, _ = trainer.restore(state, path)
@@ -97,37 +154,82 @@ def run_test(cfg: Config, dataset: IcoDataset, write_meshes: bool = True):
             recon = model.apply(variables, x, train=False)
         return grid_to_vertices(recon, s)
 
-    faces_np = ico.get_ico_faces(s)
-    faces = jnp.asarray(faces_np)
     out_dir = os.path.join(cfg.out_dir or os.path.join(cfg.model_log_dir(), "data"), "test")
-    if write_meshes:
-        os.makedirs(out_dir, exist_ok=True)
-
-    bs = cfg.train.batch_size
-    pairs = []
-    for i0 in range(0, len(dataset), bs):
-        x = jnp.asarray(dataset.inputs[i0 : i0 + bs])
-        pred_v = np.asarray(infer(x))  # (b, V, 3)
-        for k in range(pred_v.shape[0]):
-            idx = i0 + k
-            ref_v = dataset.targets[idx, :, :3]
-            if cfg.test_mode == "point2mesh":
-                d = float(
-                    jnp.mean(
-                        point_to_mesh_distance(
-                            jnp.asarray(pred_v[k]), jnp.asarray(ref_v), faces
-                        )
-                    )
-                )
-            elif cfg.test_mode == "point2point":
-                d = float(np.mean(np.linalg.norm(pred_v[k] - ref_v, axis=-1)))
-            else:
-                raise ValueError(f"unknown test_mode {cfg.test_mode}")
-            pairs.append((dataset.names[idx], d))
-            if write_meshes:
-                write_off(os.path.join(out_dir, dataset.names[idx] + ".off"), pred_v[k], faces_np)
-
+    pairs = _eval_vertex_batches(
+        cfg, infer, dataset.inputs, dataset.names, dataset.targets,
+        out_dir if write_meshes else None,
+    )
     stats = save_distances(
         pairs, os.path.join(cfg.model_log_dir(), f"{name}_{cfg.test_mode}")
     )
     return pairs, stats
+
+
+def run_decode(cfg: Config, reference: IcoDataset | None = None,
+               write_meshes: bool = True):
+    """Decode saved latent encodings through the decoder half (reference
+    createenc2icoDataset flow, data.py:121-148: enc .npz key 'arr_0' ->
+    decoder -> mesh, distance vs the matching ico reference when present).
+
+    Latents are read from cfg.enc_dir (default ``<out>/enc/val`` as written
+    by ``--process encode``); meshes land in ``<out>/dec``; if ``reference``
+    is given, per-mesh distances (matched by name) are written as CSV +
+    histogram like the test process.
+    """
+    from geniconet_tpu.data.datasets import natural_sort
+
+    s = cfg.model.subdivisions
+    name = cfg.model.name
+    out_root = cfg.out_dir or os.path.join(cfg.model_log_dir(), "data")
+    enc_dir = cfg.enc_dir or os.path.join(out_root, "enc", "val")
+    files = [f for f in natural_sort(os.listdir(enc_dir)) if f.endswith(".npz")]
+    if not files:
+        raise FileNotFoundError(f"no .npz encodings under {enc_dir}")
+    names = [os.path.splitext(f)[0] for f in files]
+    zs = np.stack(
+        [np.load(os.path.join(enc_dir, f))["arr_0"].astype(np.float32) for f in files]
+    )
+
+    path = resolve_checkpoint(cfg)
+    trainer = Trainer(cfg)
+    H, W = ico.grid_shape(s)
+    state = trainer.init_state(np.zeros((1, H, W, 3), np.float32), seed=cfg.train.seed)
+    state, epoch, _ = trainer.restore(state, path)
+    print(f"[decode] loaded {path} (epoch {epoch}); {len(names)} encodings from {enc_dir}")
+
+    model = trainer.model
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def infer(z):
+        recon = model.apply(variables, z, train=False, method=model.decode)
+        return grid_to_vertices(recon, s)
+
+    out_dir = os.path.join(out_root, "dec") if write_meshes else None
+    if reference is not None:
+        by_name = {n: k for k, n in enumerate(reference.names)}
+        missing = [n for n in names if n not in by_name]
+        if missing:
+            raise KeyError(f"encodings without reference meshes: {missing[:5]}...")
+        targets = reference.targets[[by_name[n] for n in names]]
+        pairs = _eval_vertex_batches(cfg, infer, zs, names, targets, out_dir)
+        stats = save_distances(
+            pairs, os.path.join(cfg.model_log_dir(), f"{name}_decode_{cfg.test_mode}")
+        )
+        return pairs, stats
+    # no reference: just decode + dump meshes
+    faces_np = ico.get_ico_faces(s)
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+    bs = min(cfg.train.batch_size, len(names))
+    pairs = []
+    for i0 in range(0, len(names), bs):
+        nb = min(bs, len(names) - i0)
+        z = jnp.asarray(_pad_to(zs[i0 : i0 + bs], bs))
+        pred_v = np.asarray(infer(z))[:nb]
+        for k in range(nb):
+            pairs.append((names[i0 + k], float("nan")))
+            if out_dir is not None:
+                write_off(os.path.join(out_dir, names[i0 + k] + ".off"),
+                          pred_v[k], faces_np)
+    return pairs, None

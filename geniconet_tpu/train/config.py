@@ -98,10 +98,11 @@ class Config:
     data: DataConfig = field(default_factory=DataConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     log_dir: str = "log"
-    process: str = "train"  # 'train' | 'test'
+    process: str = "train"  # 'train' | 'test' | 'encode' | 'decode'
     test_epoch: str = "0"   # 0 = latest best, 'B<ep>' or int for specific
     test_mode: str = "point2mesh"
     out_dir: str = ""
+    enc_dir: str = ""       # decode process: directory of latent .npz files
 
     @property
     def loss_factors(self):
@@ -143,7 +144,11 @@ def parse_args(argv=None) -> Config:
     """CLI mirroring reference run.py:538-587."""
     p = argparse.ArgumentParser(description="GenIcoNet-TPU experiment runner")
     p.add_argument("--model", choices=["ico2ico", "ico2ico_vae"], required=True)
-    p.add_argument("--process", choices=["train", "test", "encode"], required=True)
+    p.add_argument("--process", choices=["train", "test", "encode", "decode"],
+                   required=True)
+    p.add_argument("--encDir", type=str, default="",
+                   help="decode process: directory of latent .npz files "
+                        "(default <outDir>/enc/val as written by --process encode)")
     p.add_argument("--dataDir", type=str, default="")
     p.add_argument("--logDir", type=str, default="log")
     p.add_argument("--outDir", type=str, default="")
@@ -176,6 +181,7 @@ def parse_args(argv=None) -> Config:
     cfg.process = a.process
     cfg.log_dir = a.logDir
     cfg.out_dir = a.outDir  # empty -> defaults to <model_log_dir>/data at use site
+    cfg.enc_dir = a.encDir
     cfg.data.data_dir = a.dataDir
     cfg.data.layout_level = a.dataPthLvl
     cfg.data.synthetic = a.synthetic

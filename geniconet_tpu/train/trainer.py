@@ -107,6 +107,7 @@ class Trainer:
             partial(self._train_step, with_gflow=True), donate_argnums=(0,)
         )
         self._jit_eval_step = jax.jit(self._eval_step)
+        self._jit_logmesh = jax.jit(self._logmesh_fwd)
         self.last_misc = None  # VAE: last batch's (mu, logvar), run.py:274-277
         self._host_step = 0    # host-side step mirror for logging cadence
 
@@ -199,7 +200,17 @@ class Trainer:
         loss, (_, metrics, _) = self._loss(
             state.params, state.batch_stats, rng, x, y, wt, epoch, False
         )
-        return metrics
+        return metrics, jnp.sum(wt)
+
+    def _logmesh_fwd(self, params, batch_stats, x):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if self.is_vae:
+            recon, _, _ = self.model.apply(variables, x, train=False, sample=False)
+        else:
+            recon = self.model.apply(variables, x, train=False)
+        from geniconet_tpu.ops.vertices import grid_to_vertices
+
+        return grid_to_vertices(recon, self.s)
 
     # ------------------------------------------------------------------
     # epoch loops
@@ -245,15 +256,19 @@ class Trainer:
         return state, {"iters": n, "seconds": dt, "last": last_metrics}
 
     def validate(self, state: TrainState, batches: Batches, epoch: int):
-        total, count = None, 0
+        # accumulate weighted metric sums ON DEVICE; one host sync at the end
+        # (a per-batch device_get would serialize the eval loop on TPU)
+        total, count = None, None
         for x, y, wt in batches.epoch():
-            metrics = self._jit_eval_step(state, x, y, wt, epoch)
-            b = int(np.sum(np.asarray(jax.device_get(wt))))
-            host = jax.device_get(metrics)
-            host = {k: float(v) * b for k, v in host.items()}
-            total = host if total is None else {k: total[k] + host[k] for k in host}
-            count += b
-        avg = {k: v / max(count, 1) for k, v in (total or {}).items()}
+            metrics, b = self._jit_eval_step(state, x, y, wt, epoch)
+            scaled = {k: v * b for k, v in metrics.items()}
+            total = scaled if total is None else {k: total[k] + scaled[k] for k in scaled}
+            count = b if count is None else count + b
+        if total is None:
+            return {}
+        host = jax.device_get({"sums": total, "count": count})
+        c = max(float(host["count"]), 1.0)
+        avg = {k: float(v) / c for k, v in host["sums"].items()}
         if self.logger is not None and avg:
             self.logger.scalars("val", avg, int(jax.device_get(state.step)))
         return avg
@@ -367,19 +382,9 @@ class Trainer:
         try:
             x = jnp.asarray(val.ds.inputs[:k])
             y = val.ds.targets[:k]
-            if self.is_vae:
-                recon, _, _ = self.model.apply(
-                    {"params": state.params, "batch_stats": state.batch_stats},
-                    x, train=False, sample=False,
-                )
-            else:
-                recon = self.model.apply(
-                    {"params": state.params, "batch_stats": state.batch_stats},
-                    x, train=False,
-                )
-            from geniconet_tpu.ops.vertices import grid_to_vertices
-
-            v = np.asarray(grid_to_vertices(recon, self.s))
+            # one jit specialization, reused every log epoch (an un-jitted
+            # apply here would retrace the whole model each time)
+            v = np.asarray(self._jit_logmesh(state.params, state.batch_stats, x))
             self.logger.meshes("val_recon", v, y[..., :3], self.s, epoch)
         except Exception as e:  # logging must never kill training
             print(f"[log_mesh] skipped: {e}")

@@ -134,6 +134,16 @@ def test_http_server_endpoints(trained_log):
         # batched programmatic decode of cached latents
         d = post("/api/decode", {"indices": [0, 1, 2]})
         assert len(d["vertices"]) == 3 and len(d["vertices"][0]) == V
+        # export: .off + figure-object, collision-free renaming on re-export
+        srv_mod._allow_root(srv_mod.STATE.cfg.log_dir)
+        e1 = post("/api/export", {"i": 0})
+        e2 = post("/api/export", {"i": 0})
+        assert os.path.exists(e1["path"]) and os.path.exists(e2["path"])
+        assert e1["path"] != e2["path"]  # never overwrites (get_new_name parity)
+        f1 = post("/api/export", {"i": 0, "fmt": "fig"})
+        fig = json.load(open(f1["path"]))
+        assert f1["path"].endswith(".fig.json")
+        assert len(fig["vertices"]) == 3 * V and "coloring" in fig
         # index page served
         html = urllib.request.urlopen(f"http://127.0.0.1:{port}/").read()
         assert b"GenIcoNet-TPU Explorer" in html

@@ -7,7 +7,7 @@ import numpy as np
 from geniconet_tpu.geometry import ico
 from geniconet_tpu.nn.models import IcoAE
 from geniconet_tpu.train import checkpoint as ckpt
-from geniconet_tpu.train.summary import count_params, model_summary
+from geniconet_tpu.train.summary import count_params, model_graph_dot, model_summary
 
 
 def test_model_summary():
@@ -21,6 +21,24 @@ def test_model_summary():
     vs = model.init({"params": jax.random.key(0)}, x, train=False)
     n = count_params(vs["params"])
     assert f"{n:,}" in summ
+
+
+def test_model_graph_dot():
+    """Graphviz drawing surface (torchsummary draw_graph parity)."""
+    s = 3
+    model = IcoAE(subdivisions=s, widths=(4, 6, 8))
+    x = np.zeros((1, *ico.grid_shape(s), 3), np.float32)
+    dot = model_graph_dot(model, x)
+    assert dot.startswith("digraph model {") and dot.rstrip().endswith("}")
+    assert "IcoAE" in dot
+    # module nodes + containment edges + sequential stage edges exist
+    assert "down0" in dot and "up0" in dot
+    assert "->" in dot and "style=dashed" in dot
+    # parameter shapes annotated on leaves
+    assert "taps" in dot and "(" in dot
+    # balanced braces/quotes so `dot` can parse it
+    assert dot.count("{") == dot.count("}")
+    assert dot.count('"') % 2 == 0
 
 
 def test_merge_checkpoints(tmp_path):
