@@ -25,7 +25,8 @@ def build():
 
 
 def run_trace(out_dir, steps):
-    trainer, state, (x, y, wt) = build()
+    trainer, state, batches = build()
+    x, y, wt = next(iter(batches.epoch()))
     # warmup/compile
     state, metrics, _, _ = trainer._jit_train_step(state, x, y, wt, 0)
     float(jax.device_get(metrics["total"]))
