@@ -77,34 +77,39 @@ class AppState:
             state, ckpt.checkpoint_path(ckpt_dir, name, epoch, best=True)
         )
         self.model = trainer.model
-        self.variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # device_put once; pass as jit ARGUMENTS (closing over restored
+        # numpy params would inline them as huge HLO literals — the
+        # tunneled TPU backend fails such programs at run time)
+        self.variables = jax.device_put(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
         model, variables = self.model, self.variables
         is_vae = cfg.model.is_vae
 
-        @jax.jit
-        def encode(x):
-            return model.apply(variables, x, method="encode")
+        _encode = jax.jit(lambda v, x: model.apply(v, x, method="encode"))
 
         @jax.jit
-        def decode(z):
-            out = model.apply(variables, z, method="decode")
+        def _decode(v, z):
+            out = model.apply(v, z, method="decode")
             return grid_to_vertices(out, s)
 
-        self._encode_fn = encode
-        self._decode_fn = decode
+        self._encode_fn = lambda x: _encode(variables, x)
+        self._decode_fn = lambda z: _decode(variables, z)
 
         # latent cache over the dataset (batched)
         zs, lvs = [], []
         bs = 16
         for i in range(0, len(self.dataset), bs):
             x = jnp.asarray(self.dataset.inputs[i : i + bs])
-            enc = encode(x)
+            enc = self._encode_fn(x)
             if is_vae:
                 mu, logvar = enc
-                zs.append(np.asarray(mu))
-                lvs.append(np.asarray(logvar))
+                # float32 host cache even under bf16 compute: npz export,
+                # sklearn PCA and KDTree all need a portable dtype
+                zs.append(np.asarray(mu, np.float32))
+                lvs.append(np.asarray(logvar, np.float32))
             else:
-                zs.append(np.asarray(enc))
+                zs.append(np.asarray(enc, np.float32))
         self.latents = np.concatenate(zs, 0)
         self.logvars = np.concatenate(lvs, 0) if lvs else None
         self.pca = None  # invalidate

@@ -5,10 +5,21 @@ a TPU-idiomatic host loop: the packed dataset lives in host RAM, each batch is a
 zero-copy numpy slice that gets `device_put` with a `NamedSharding` so each
 chip receives only its shard of the batch; a one-deep prefetch overlaps the
 host->HBM transfer of batch k+1 with the device compute of batch k.
+
+Device-resident mode: when the packed dataset fits a budget (default 2 GiB —
+all of ModelNet10 at I5 is ~2.4 GB fp32, each class split far under it), the
+whole dataset is `device_put` ONCE and every batch becomes an on-device
+gather driven by a tiny host index array. This removes the per-batch
+host→HBM transfer from the hot loop entirely — on the tunneled single-chip
+setup that transfer costs ~20x the step's compute. The reference eager-loads
+into host RAM (data.py:79-80); the TPU-native analogue is eager-loading into
+HBM. Disable with ``device_resident=False`` (or the auto budget) for
+datasets that must stream.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Iterator, Optional
 
 import jax
@@ -17,6 +28,8 @@ import numpy as np
 from geniconet_tpu.data.datasets import IcoDataset
 
 __all__ = ["Batches", "pad_to_multiple"]
+
+_RESIDENT_BUDGET = 2 * 1024**3  # bytes of (inputs + targets) kept in HBM
 
 
 def pad_to_multiple(n: int, m: int) -> int:
@@ -48,6 +61,7 @@ class Batches:
         drop_remainder: Optional[bool] = None,
         sharding=None,
         seed: int = 0,
+        device_resident: Optional[bool] = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -68,6 +82,33 @@ class Batches:
         self.drop_remainder = drop_remainder
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
+        if device_resident is None:
+            device_resident = (
+                dataset.inputs.nbytes + dataset.targets.nbytes <= _RESIDENT_BUDGET
+            )
+        self.device_resident = device_resident
+        self._dev = None  # lazy (dev_inputs, dev_targets, gather_fn)
+
+    def _device_tables(self):
+        """One-time HBM placement of the packed dataset + the jitted gather."""
+        if self._dev is None:
+            if self.sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(self.sharding.mesh, PartitionSpec())
+                di = jax.device_put(self.ds.inputs, rep)
+                dt = jax.device_put(self.ds.targets, rep)
+                out_s = self.sharding
+                gather = jax.jit(
+                    lambda a, b, idx: (a[idx], b[idx]),
+                    out_shardings=(out_s, out_s),
+                )
+            else:
+                di = jax.device_put(self.ds.inputs)
+                dt = jax.device_put(self.ds.targets)
+                gather = jax.jit(lambda a, b, idx: (a[idx], b[idx]))
+            self._dev = (di, dt, gather)
+        return self._dev
 
     def __len__(self):
         n = len(self.ds)
@@ -114,17 +155,21 @@ class Batches:
                             f"{self.n_devices} devices; add data or shrink the mesh"
                         )
                     idx = idx[:keep]
-            x = self.ds.inputs[idx]
-            y = self.ds.targets[idx]
             wt = np.ones(len(idx), np.float32)
             if len(idx) < bs and self.sharding is not None and not self.shuffle:
                 # eval: zero-weight padding is safe (BN stats frozen)
                 target = pad_to_multiple(len(idx), self.n_devices)
                 pad = target - len(idx)
                 if pad:
-                    x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-                    y = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)])
+                    # padded rows repeat sample 0; wt=0 masks them in the loss
+                    idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
                     wt = np.concatenate([wt, np.zeros(pad, np.float32)])
+            if self.device_resident:
+                di, dt, gather = self._device_tables()
+                x, y = gather(di, dt, idx)  # on-device gather; only idx moves
+                return x, y, self._place(wt)
+            x = self.ds.inputs[idx]
+            y = self.ds.targets[idx]
             return self._place(x), self._place(y), self._place(wt)
 
         # one-deep prefetch

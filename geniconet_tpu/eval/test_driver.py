@@ -110,10 +110,13 @@ def _eval_vertex_batches(cfg: Config, infer, inputs: np.ndarray, names,
 
     @jax.jit
     def dist_fn(pv, rv):
-        # vmap over meshes: (b, V, 3) x (b, V, 3) -> (b,) mean sq point2mesh
-        return jax.vmap(
-            lambda p, r: jnp.mean(point_to_mesh_distance(p, r, faces))
-        )(pv, rv)
+        # one dispatch per batch: (b, V, 3) x (b, V, 3) -> (b,) mean sq
+        # point2mesh. lax.map (not vmap) — vmap multiplies the point x
+        # triangle-chunk pair matrix by b and overflows HBM at I5/bs36.
+        return jax.lax.map(
+            lambda pr: jnp.mean(point_to_mesh_distance(pr[0], pr[1], faces)),
+            (pv, rv),
+        )
 
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
@@ -144,15 +147,22 @@ def run_test(cfg: Config, dataset: IcoDataset, write_meshes: bool = True):
     print(f"[test] loaded {path} (epoch {epoch})")
 
     model = trainer.model
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # variables are jit ARGUMENTS, not a closure: restored (numpy) params
+    # closed over would be inlined as ~30 MB of HLO literals, which the
+    # tunneled TPU backend rejects at run time (observed INTERNAL errors)
+    variables = jax.device_put(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
 
     @jax.jit
-    def infer(x):
+    def _infer(vars_, x):
         if cfg.model.is_vae:
-            recon, _, _ = model.apply(variables, x, train=False, sample=False)
+            recon, _, _ = model.apply(vars_, x, train=False, sample=False)
         else:
-            recon = model.apply(variables, x, train=False)
+            recon = model.apply(vars_, x, train=False)
         return grid_to_vertices(recon, s)
+
+    infer = lambda x: _infer(variables, x)
 
     out_dir = os.path.join(cfg.out_dir or os.path.join(cfg.model_log_dir(), "data"), "test")
     pairs = _eval_vertex_batches(
@@ -198,12 +208,16 @@ def run_decode(cfg: Config, reference: IcoDataset | None = None,
     print(f"[decode] loaded {path} (epoch {epoch}); {len(names)} encodings from {enc_dir}")
 
     model = trainer.model
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = jax.device_put(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
 
     @jax.jit
-    def infer(z):
-        recon = model.apply(variables, z, train=False, method=model.decode)
+    def _infer(vars_, z):
+        recon = model.apply(vars_, z, train=False, method=model.decode)
         return grid_to_vertices(recon, s)
+
+    infer = lambda z: _infer(variables, z)
 
     out_dir = os.path.join(out_root, "dec") if write_meshes else None
     if reference is not None:

@@ -8,8 +8,12 @@ the 7 active hex taps (no dead 3×3 corners), compute dtype is configurable
 cross-replica axis reduction for data parallelism (``axis_name``) so a DP
 run matches a single-chip large-batch run.
 
-Initialization matches torch Conv2d defaults used by the reference training
-runs: weights and bias ~ U(±1/sqrt(fan_in)) with fan_in = 7·C_in.
+Initialization follows the torch Conv2d *recipe* (kaiming_uniform(a=√5) ⇒
+U(±1/sqrt(fan_in)) for weight and bias) but with the hex conv's true
+fan_in = 7·C_in — a DELIBERATE deviation from the reference, whose masked
+3×3 Conv2d would use fan_in = 9·C_in (counting the two dead corner taps).
+7·C_in is the variance-correct choice for a 7-tap stencil; the reference's
+effective init is a constant factor √(7/9) ≈ 0.88 narrower.
 """
 
 from __future__ import annotations
@@ -28,9 +32,10 @@ __all__ = ["IcoConvS2S", "IcoBatchNorm", "DownBlock", "UpBlock", "hex_uniform_in
 
 
 def hex_uniform_init(fan_in: int) -> Callable:
-    """U(±1/sqrt(fan_in)) — torch Conv2d reset_parameters equivalent
+    """U(±1/sqrt(fan_in)) — the torch Conv2d reset_parameters recipe
     (kaiming_uniform with a=sqrt(5) reduces to this bound for both the
-    weight and the bias)."""
+    weight and the bias). Callers pass fan_in = 7·C_in (the live hex taps),
+    not the masked-3×3's 9·C_in — see the module docstring."""
     bound = 1.0 / (fan_in**0.5)
 
     def init(key, shape, dtype=jnp.float32):
