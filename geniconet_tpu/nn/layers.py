@@ -18,6 +18,7 @@ effective init is a constant factor √(7/9) ≈ 0.88 narrower.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -44,6 +45,21 @@ def hex_uniform_init(fan_in: int) -> Callable:
     return init
 
 
+def _xla_act(x, act):
+    """XLA fallback of the kernels' BN-apply+ReLU prologue."""
+    if act is None:
+        return x
+    pre = x.astype(jnp.float32) * act[0] + act[1]
+    return jnp.maximum(pre, 0.0).astype(x.dtype)
+
+
+def _xla_stats(y):
+    """XLA fallback of the kernels' [sum, sumsq] (2, C) fp32 emission."""
+    y32 = y.astype(jnp.float32)
+    axes = tuple(range(y.ndim - 1))
+    return jnp.stack([jnp.sum(y32, axis=axes), jnp.sum(jnp.square(y32), axis=axes)])
+
+
 class IcoConvS2S(nn.Module):
     """Hexagonal icosahedral conv (reference IcoConvS2S contract).
 
@@ -65,7 +81,8 @@ class IcoConvS2S(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, *, is_padded: bool = False, get_params: bool = False
+        self, x: jnp.ndarray, *, is_padded: bool = False, get_params: bool = False,
+        act=None, with_stats: bool = False,
     ):
         """Apply the conv. With ``is_padded=True`` the input is an already
         haloed ``(B, 5, h+2, w+2, C)`` tensor (lets residual blocks share one
@@ -73,7 +90,10 @@ class IcoConvS2S(nn.Module):
         ``get_params=True``, declare and return ``(taps, bias)`` cast to the
         compute dtype instead of applying — used by the fused block paths,
         which feed several convs' taps into one Pallas kernel while keeping
-        this module as the parameter owner (checkpoint-compatible tree)."""
+        this module as the parameter owner (checkpoint-compatible tree).
+        ``act=(mul, add)`` prepends a BN-apply+ReLU prologue; ``with_stats``
+        additionally returns the output's (2, C) fp32 [sum, sumsq] — both
+        fused in-kernel on the Pallas route, XLA-emulated otherwise."""
         cin = x.shape[-1]
         init = hex_uniform_init(7 * cin)
         taps = self.param("taps", init, (7, cin, self.features))
@@ -100,7 +120,9 @@ class IcoConvS2S(nn.Module):
             return fused_ico_conv_s2s(
                 x, taps, bias.astype(self.dtype) if bias is not None else None,
                 self.subdivisions, self.corner_mode, self.stride,
+                act=act, with_stats=with_stats,
             )
+        x = _xla_act(x, act)
         if is_padded:
             y = ico_conv_s2s_padded(x, taps_to_kernel(taps), self.stride)
             if bias is not None:
@@ -114,7 +136,7 @@ class IcoConvS2S(nn.Module):
                 stride=self.stride,
                 corner_mode=self.corner_mode,
             )
-        return y
+        return (y, _xla_stats(y)) if with_stats else y
 
 
 class _PhaseBN(nn.Module):
@@ -170,13 +192,64 @@ class _PhaseBN(nn.Module):
         return tuple(((p - mean) * mul + bias).astype(self.dtype) for p in phases)
 
 
+class _StatsBN(nn.Module):
+    """BatchNorm affine provider driven by kernel-emitted sufficient
+    statistics: input is ``{"stats": (2, C) fp32 [sum, sumsq] | None,
+    "count": float, "features": C}`` and the output is the per-channel
+    ``(mul, add)`` such that the BN apply is ``y*mul + add`` — consumed by
+    the next kernel's act prologue or the block's XLA tail. The activation
+    tensor is never re-read for moments. Variable tree matches nn.BatchNorm
+    (fp32 scale/bias, batch_stats mean/var, momentum 0.9, eps 1e-5,
+    non-negative fast variance, optional cross-replica ``axis_name`` pmean),
+    so all three BN forms share checkpoints."""
+
+    use_running_average: bool
+    axis_name: Optional[str] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, stats: dict):
+        C = int(stats["features"])
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (C,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (C,)
+        )
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            st = stats["stats"]
+            count = jnp.asarray(stats["count"], jnp.float32)
+            mean = st[0] / count
+            mean2 = st[1] / count
+            if self.axis_name is not None and not self.is_initializing():
+                stacked = jax.lax.pmean(jnp.stack([mean, mean2]), self.axis_name)
+                mean, mean2 = stacked[0], stacked[1]
+            var = jnp.maximum(0.0, mean2 - jnp.square(mean))
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        return mul, bias - mean * mul
+
+
 class IcoBatchNorm(nn.Module):
     """BatchNorm2d equivalent (torch defaults: eps 1e-5, running momentum 0.1).
 
     ``axis_name`` enables cross-replica moment reduction under shard_map/pmap
-    so data-parallel training uses global batch statistics. Accepts either a
-    standard ``(B, 5, h, w, C)`` grid or a 4-tuple of phase tensors (the
-    fused block paths) — both share the same variable tree and statistics.
+    so data-parallel training uses global batch statistics. Accepts a
+    standard ``(B, 5, h, w, C)`` grid, a 4-tuple of phase tensors, or a
+    ``{"stats", "count", "features"}`` dict of kernel-emitted moment sums
+    (returning the ``(mul, add)`` affine instead of applying) — all three
+    share the same variable tree and statistics.
     """
 
     use_running_average: Optional[bool] = None
@@ -188,6 +261,12 @@ class IcoBatchNorm(nn.Module):
         ura = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
+        if isinstance(x, dict):
+            return _StatsBN(
+                use_running_average=ura,
+                axis_name=self.axis_name,
+                name="BatchNorm_0",
+            )(x)
         if isinstance(x, (tuple, list)):
             return _PhaseBN(
                 use_running_average=ura,
@@ -228,7 +307,11 @@ class DownBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 in_act=None) -> jnp.ndarray:
+        """``in_act=(mul, add)``: a pending BN-apply+ReLU from the producing
+        layer, absorbed into the first kernels' prologue on the fused path
+        (applied in XLA on the fallback path)."""
         from geniconet_tpu.ops.phase import phase_split
         from geniconet_tpu.ops.pallas.phase_kernel import (
             fused_dual_s2_conv,
@@ -241,32 +324,61 @@ class DownBlock(nn.Module):
         s = self.in_subdivisions
         xd = x.astype(self.dtype)
         h2, w2 = x.shape[2] // 2, x.shape[3] // 2
+        F = self.features
         if (
             self.use_pallas
             and s >= 2
-            and phase_vmem_ok(h2, w2, x.shape[-1], self.features, n_sets=2)
+            and phase_vmem_ok(h2, w2, x.shape[-1], F, n_sets=2)
         ):
-            t00, b00 = IcoConvS2S(self.features, s, stride=2, name="conv00", **kw)(
+            t00, b00 = IcoConvS2S(F, s, stride=2, name="conv00", **kw)(
                 xd, get_params=True
             )
-            t10, b10 = IcoConvS2S(self.features, s, stride=2, name="conv10", **kw)(
+            t10, b10 = IcoConvS2S(F, s, stride=2, name="conv10", **kw)(
                 xd, get_params=True
             )
-            y00, y10 = fused_dual_s2_conv(
-                phase_split(xd), t00, b00, t10, b10, self.corner_mode
+            if train:
+                y00, y10, s00, s10 = fused_dual_s2_conv(
+                    phase_split(xd), t00, b00, t10, b10, self.corner_mode,
+                    act=in_act, with_stats=True,
+                )
+            else:
+                y00, y10 = fused_dual_s2_conv(
+                    phase_split(xd), t00, b00, t10, b10, self.corner_mode,
+                    act=in_act,
+                )
+                s00 = s10 = None
+            cnt = float(math.prod(y00.shape[:-1]))
+            mul00, add00 = IcoBatchNorm(name="bn00", **bn)(
+                {"stats": s00, "count": cnt, "features": F}
             )
-        else:
-            # both stride-2 branches read the same halo — pad once
-            src = ico_pad(xd, s, self.corner_mode)
-            y00 = IcoConvS2S(self.features, s, stride=2, name="conv00", **kw)(
-                src, is_padded=True
+            b0, s01 = IcoConvS2S(F, s - 1, stride=1, name="conv01", **kw)(
+                y00, act=(mul00, add00), with_stats=train
+            ) if train else (
+                IcoConvS2S(F, s - 1, stride=1, name="conv01", **kw)(
+                    y00, act=(mul00, add00)
+                ),
+                None,
             )
-            y10 = IcoConvS2S(self.features, s, stride=2, name="conv10", **kw)(
-                src, is_padded=True
+            mul01, add01 = IcoBatchNorm(name="bn01", **bn)(
+                {"stats": s01, "count": cnt, "features": F}
             )
+            mul10, add10 = IcoBatchNorm(name="bn10", **bn)(
+                {"stats": s10, "count": cnt, "features": F}
+            )
+            out = jnp.maximum(
+                b0.astype(jnp.float32) * mul01 + add01
+                + y10.astype(jnp.float32) * mul10 + add10,
+                0.0,
+            )
+            return out.astype(self.dtype)
+        # XLA fallback: both stride-2 branches read the same halo — pad once
+        xd = _xla_act(xd, in_act)
+        src = ico_pad(xd, s, self.corner_mode)
+        y00 = IcoConvS2S(F, s, stride=2, name="conv00", **kw)(src, is_padded=True)
+        y10 = IcoConvS2S(F, s, stride=2, name="conv10", **kw)(src, is_padded=True)
         b0 = IcoBatchNorm(name="bn00", **bn)(y00)
         b0 = nn.relu(b0)
-        b0 = IcoConvS2S(self.features, s - 1, stride=1, name="conv01", **kw)(b0)
+        b0 = IcoConvS2S(F, s - 1, stride=1, name="conv01", **kw)(b0)
         b0 = IcoBatchNorm(name="bn01", **bn)(b0)
         b1 = IcoBatchNorm(name="bn10", **bn)(y10)
         return nn.relu(b0 + b1)
@@ -303,29 +415,60 @@ class UpBlock(nn.Module):
         s = self.in_subdivisions
         xd = x.astype(self.dtype)
         h, w = x.shape[2], x.shape[3]  # == phase shape of the s+1 grid
+        F = self.features
         if (
             self.use_pallas
-            and phase_vmem_ok(h, w, x.shape[-1], self.features, n_sets=2)
+            and phase_vmem_ok(h, w, x.shape[-1], F, n_sets=2)
         ):
             # whole block in phase form: upsample + both first convs fused
-            # (the 4x-sized upsampled tensor never reaches HBM), second conv
-            # consumes/produces phases, ONE interleave at the output in XLA.
-            t00, b00 = IcoConvS2S(self.features, s + 1, stride=1, name="conv00", **kw)(
+            # (the 4x-sized upsampled tensor never reaches HBM), BN moments
+            # emitted by the kernels, bn00-apply+relu as the second conv's
+            # in-kernel prologue, ONE interleave at the output in XLA.
+            t00, b00 = IcoConvS2S(F, s + 1, stride=1, name="conv00", **kw)(
                 xd, get_params=True
             )
-            t10, b10 = IcoConvS2S(self.features, s + 1, stride=1, name="conv10", **kw)(
+            t10, b10 = IcoConvS2S(F, s + 1, stride=1, name="conv10", **kw)(
                 xd, get_params=True
             )
-            y00, y10 = fused_up_dual_conv(xd, t00, b00, t10, b10, self.corner_mode)
-            b0 = IcoBatchNorm(name="bn00", **bn)(y00)
-            b0 = tuple(nn.relu(p) for p in b0)
-            t01, b01 = IcoConvS2S(self.features, s + 1, stride=1, name="conv01", **kw)(
-                b0[0], get_params=True
+            if train:
+                y00, y10, s00, s10 = fused_up_dual_conv(
+                    xd, t00, b00, t10, b10, self.corner_mode, with_stats=True
+                )
+            else:
+                y00, y10 = fused_up_dual_conv(xd, t00, b00, t10, b10, self.corner_mode)
+                s00 = s10 = None
+            cnt = 4.0 * math.prod(y00[0].shape[:-1])
+            mul00, add00 = IcoBatchNorm(name="bn00", **bn)(
+                {"stats": s00, "count": cnt, "features": F}
             )
-            b0 = fused_phase_conv_s1(b0, t01, b01, self.corner_mode)
-            b0 = IcoBatchNorm(name="bn01", **bn)(b0)
-            b1 = IcoBatchNorm(name="bn10", **bn)(y10)
-            return phase_merge(tuple(nn.relu(a + b) for a, b in zip(b0, b1)))
+            t01, b01 = IcoConvS2S(F, s + 1, stride=1, name="conv01", **kw)(
+                y00[0], get_params=True
+            )
+            if train:
+                b0, s01 = fused_phase_conv_s1(
+                    y00, t01, b01, self.corner_mode, act=(mul00, add00),
+                    with_stats=True,
+                )
+            else:
+                b0 = fused_phase_conv_s1(
+                    y00, t01, b01, self.corner_mode, act=(mul00, add00)
+                )
+                s01 = None
+            mul01, add01 = IcoBatchNorm(name="bn01", **bn)(
+                {"stats": s01, "count": cnt, "features": F}
+            )
+            mul10, add10 = IcoBatchNorm(name="bn10", **bn)(
+                {"stats": s10, "count": cnt, "features": F}
+            )
+            out = tuple(
+                jnp.maximum(
+                    a.astype(jnp.float32) * mul01 + add01
+                    + b.astype(jnp.float32) * mul10 + add10,
+                    0.0,
+                ).astype(self.dtype)
+                for a, b in zip(b0, y10)
+            )
+            return phase_merge(out)
 
         up = ico_upsample_s2s(xd, s, self.corner_mode)
         # both branches read the same upsampled halo — pad once (the route

@@ -72,18 +72,44 @@ class _Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import math
+
+        from geniconet_tpu.ops.pallas.phase_kernel import phase_vmem_ok
+
         kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_pallas=self.use_pallas)
         bn = dict(axis_name=self.axis_name, dtype=self.dtype)
         s = self.subdivisions
-        x = IcoConvS2S(self.widths[0], s, stride=1, name="conv_in", **kw)(x)
-        x = IcoBatchNorm(use_running_average=not train, name="bn_in", **bn)(x)
-        x = nn.relu(x)
+        w0 = self.widths[0]
+        # bn_in-apply + relu become down0's first-kernel prologue on the
+        # fused path (the activated s-level tensor never reaches HBM)
+        fuse_in = (
+            self.use_pallas
+            and s >= 2
+            and len(self.widths) > 1
+            and phase_vmem_ok(x.shape[2] // 2, x.shape[3] // 2, w0,
+                              self.widths[1], n_sets=2)
+        )
+        if fuse_in:
+            conv_in = IcoConvS2S(w0, s, stride=1, name="conv_in", **kw)
+            if train:
+                x, st = conv_in(x, with_stats=True)
+            else:
+                x, st = conv_in(x), None
+            cnt = float(math.prod(x.shape[:-1]))
+            in_act = IcoBatchNorm(use_running_average=not train, name="bn_in", **bn)(
+                {"stats": st, "count": cnt, "features": w0}
+            )
+        else:
+            x = IcoConvS2S(w0, s, stride=1, name="conv_in", **kw)(x)
+            x = IcoBatchNorm(use_running_average=not train, name="bn_in", **bn)(x)
+            x = nn.relu(x)
+            in_act = None
         for k, width in enumerate(self.widths[1:]):
             x = DownBlock(
                 width, s - k, axis_name=self.axis_name, name=f"down{k}",
                 corner_mode=self.corner_mode, dtype=self.dtype,
                 use_pallas=self.use_pallas,
-            )(x, train=train)
+            )(x, train=train, in_act=in_act if k == 0 else None)
         return x
 
 

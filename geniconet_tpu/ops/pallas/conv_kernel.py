@@ -139,11 +139,28 @@ def _tap_slice(P, h, w, di, dj, stride):
     return Pr[:, ra : ra + h // 2, pa, cb : cb + w // 2, pb, :]
 
 
-def _kernel(x_ref, w_ref, b_ref, o_ref, *, h, w, corner_mode, stride, k, out_dtype):
+def _act_apply(x, mul, add):
+    """BN-apply + ReLU prologue: relu(x·mul + add), fp32 math, input dtype
+    out (matches the XLA order apply→downcast→relu: relu commutes with
+    round-to-bf16)."""
+    pre = x.astype(jnp.float32) * mul + add
+    return jnp.maximum(pre, 0.0).astype(x.dtype)
+
+
+def _kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act, with_stats):
+    # refs: x, [mul, add], taps, bias -> out, [stats (2, cout)]
+    x_ref = refs[0]
+    idx = 1
+    xv = x_ref[...]
+    if has_act:
+        xv = _act_apply(xv, refs[1][0], refs[2][0])
+        idx = 3
+    w_ref, b_ref = refs[idx], refs[idx + 1]
+    o_ref = refs[idx + 2]
     # k samples per program: per-sample halos concatenated along the chart
     # axis (slicing is row-independent, so tap windows apply unchanged)
     P = jnp.concatenate(
-        [_build_padded(x_ref[i], h, w, corner_mode) for i in range(k)], axis=0
+        [_build_padded(xv[i], h, w, corner_mode) for i in range(k)], axis=0
     )  # (k*5, h+2, w+2, Cin)
     cin = x_ref.shape[-1]
     cout = w_ref.shape[-1]
@@ -158,10 +175,25 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, *, h, w, corner_mode, stride, k, out_dty
         sl = _tap_slice(P, h, w, di, dj, stride).reshape(rows, cin)
         acc += jnp.dot(sl, w_ref[t], preferred_element_type=jnp.float32)
     acc += b_ref[0].astype(jnp.float32)
-    o_ref[...] = acc.reshape(k, 5, ho, wo, cout).astype(out_dtype)
+    y = acc.reshape(k, 5, ho, wo, cout).astype(out_dtype)
+    o_ref[...] = y
+    if with_stats:
+        s_ref = refs[idx + 3]
+        y32 = y.astype(jnp.float32)
+        part = jnp.stack([
+            jnp.sum(y32, axis=(0, 1, 2, 3)),
+            jnp.sum(jnp.square(y32), axis=(0, 1, 2, 3)),
+        ])
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+
+        s_ref[...] += part
 
 
-def _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride=1):
+def _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride=1,
+                    act=None, with_stats=False):
     B = x.shape[0]
     h, w = ico.chart_shape(subdivisions)
     ho, wo = h // stride, w // stride
@@ -172,21 +204,37 @@ def _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride=1):
     k = _choose_k(B, h, w, cin, cout, x.dtype.itemsize)
     kernel = functools.partial(
         _kernel, h=h, w=w, corner_mode=corner_mode, stride=stride, k=k,
-        out_dtype=x.dtype,
+        out_dtype=x.dtype, has_act=act is not None, with_stats=with_stats,
     )
+    in_specs = [
+        pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x]
+    if act is not None:
+        in_specs += [pl.BlockSpec((1, cin), lambda b: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        args += [act[0].reshape(1, cin).astype(jnp.float32),
+                 act[1].reshape(1, cin).astype(jnp.float32)]
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args += [taps, bias.reshape(1, cout)]
+    out_specs = [pl.BlockSpec((k, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, 5, ho, wo, cout), x.dtype)]
+    if with_stats:
+        out_specs.append(pl.BlockSpec((2, cout), lambda b: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((2, cout), jnp.float32))
     flops = 2 * B * 5 * ho * wo * 7 * cin * cout
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(B // k,),
-        in_specs=[
-            pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((k, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 5, ho, wo, cout), x.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=x.size * x.dtype.itemsize * 2,
@@ -197,7 +245,8 @@ def _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride=1):
             # buffering) exceeds the default 16M scoped-vmem budget
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(x, taps, bias.reshape(1, cout))
+    )(*args)
+    return (outs[0], outs[1]) if with_stats else (outs[0], None)
 
 
 # ---------------------------------------------------------------------------
@@ -205,8 +254,16 @@ def _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride=1):
 # ---------------------------------------------------------------------------
 
 
-def _dtaps_kernel(x_ref, g_ref, o_ref, *, h, w, corner_mode, stride, k):
-    """dL/dtaps[t] = P_slice(t)^T · g, accumulated across the batch grid."""
+def _dtaps_kernel(*refs, h, w, corner_mode, stride, k, has_act):
+    """dL/dtaps[t] = P_slice(t)^T · g, accumulated across the batch grid.
+    refs: x, [mul, add], g -> out."""
+    x_ref = refs[0]
+    idx = 1
+    xv = x_ref[...]
+    if has_act:
+        xv = _act_apply(xv, refs[1][0], refs[2][0])
+        idx = 3
+    g_ref, o_ref = refs[idx], refs[idx + 1]
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -217,7 +274,7 @@ def _dtaps_kernel(x_ref, g_ref, o_ref, *, h, w, corner_mode, stride, k):
     rows = k * 5 * ho * wo
     g = g_ref[...].reshape(rows, g_ref.shape[-1]).astype(jnp.float32)
     P = jnp.concatenate(
-        [_build_padded(x_ref[i], h, w, corner_mode) for i in range(k)], axis=0
+        [_build_padded(xv[i], h, w, corner_mode) for i in range(k)], axis=0
     )
     cin = x_ref.shape[-1]
     for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
@@ -283,9 +340,17 @@ def _pad_transpose(dP, *, h, w, corner_mode, k):
     return dx
 
 
-def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, stride, k, out_dtype):
+def _dx_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act):
     """dx = padᵀ(convᵀ(g)): build dP = Σ_t slice_t ← g·W_tᵀ, then accumulate
-    every pad-source position back via `_pad_transpose`."""
+    every pad-source position back via `_pad_transpose`. refs: g, taps,
+    [x, mul, add] -> dx, [dmul, dadd]. With act the result is gated by the
+    ReLU mask and scaled by mul (dL/dx of x' = relu(x·mul+add))."""
+    g_ref, w_ref = refs[0], refs[1]
+    if has_act:
+        x_ref, mul_ref, add_ref = refs[2], refs[3], refs[4]
+        o_ref, dmul_ref, dadd_ref = refs[5], refs[6], refs[7]
+    else:
+        o_ref = refs[2]
     cout = g_ref.shape[-1]
     cin = w_ref.shape[1]
     ho, wo = h // stride, w // stride
@@ -324,36 +389,63 @@ def _dx_kernel(g_ref, w_ref, o_ref, *, h, w, corner_mode, stride, k, out_dtype):
             )
 
     dx = _pad_transpose(dP, h=h, w=w, corner_mode=corner_mode, k=k)
-    o_ref[...] = dx.reshape(k, 5, h, w, cin).astype(out_dtype)
+    if not has_act:
+        o_ref[...] = dx.reshape(k, 5, h, w, cin).astype(out_dtype)
+        return
+    mul, add = mul_ref[0], add_ref[0]
+    x32 = x_ref[...].reshape(k * 5, h, w, cin).astype(jnp.float32)
+    mask = (x32 * mul + add > 0.0).astype(jnp.float32)
+    dm = dx * mask
+    o_ref[...] = (dm * mul).reshape(k, 5, h, w, cin).astype(out_dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dmul_ref[...] = jnp.zeros_like(dmul_ref)
+        dadd_ref[...] = jnp.zeros_like(dadd_ref)
+
+    dmul_ref[...] += jnp.sum(dm * x32, axis=(0, 1, 2)).reshape(1, cin)
+    dadd_ref[...] += jnp.sum(dm, axis=(0, 1, 2)).reshape(1, cin)
 
 
-def _pallas_dtaps(x, g, subdivisions, corner_mode, stride=1):
+def _pallas_dtaps(x, g, subdivisions, corner_mode, stride=1, act=None):
     B = x.shape[0]
     h, w = ico.chart_shape(subdivisions)
     ho, wo = h // stride, w // stride
     cin, cout = x.shape[-1], g.shape[-1]
     k = _choose_k(B, h, w, cin, cout, x.dtype.itemsize)
     kernel = functools.partial(
-        _dtaps_kernel, h=h, w=w, corner_mode=corner_mode, stride=stride, k=k
+        _dtaps_kernel, h=h, w=w, corner_mode=corner_mode, stride=stride, k=k,
+        has_act=act is not None,
     )
+    in_specs = [
+        pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x]
+    if act is not None:
+        in_specs += [pl.BlockSpec((1, cin), lambda b: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        args += [act[0].reshape(1, cin).astype(jnp.float32),
+                 act[1].reshape(1, cin).astype(jnp.float32)]
+    in_specs.append(
+        pl.BlockSpec((k, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    args.append(g)
     out = pl.pallas_call(
         kernel,
         grid=(B // k,),
-        in_specs=[
-            pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((7, cin, cout), lambda b: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((7, cin, cout), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, g)
+    )(*args)
     return out.astype(x.dtype)
 
 
-def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype, stride=1):
+def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype, stride=1,
+               act=None, x=None):
     B = g.shape[0]
     h, w = ico.chart_shape(subdivisions)
     ho, wo = h // stride, w // stride
@@ -361,47 +453,88 @@ def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype, stride=1):
     k = _choose_k(B, h, w, cin, cout, g.dtype.itemsize)
     kernel = functools.partial(
         _dx_kernel, h=h, w=w, corner_mode=corner_mode, stride=stride, k=k,
-        out_dtype=out_dtype,
+        out_dtype=out_dtype, has_act=act is not None,
     )
-    return pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((k, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [g, taps]
+    out_specs = [pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, cin), out_dtype)]
+    if act is not None:
+        in_specs.append(pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs += [pl.BlockSpec((1, cin), lambda b: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        args += [x, act[0].reshape(1, cin).astype(jnp.float32),
+                 act[1].reshape(1, cin).astype(jnp.float32)]
+        out_specs += [pl.BlockSpec((1, cin), lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shape += [jax.ShapeDtypeStruct((1, cin), jnp.float32)] * 2
+    outs = pl.pallas_call(
         kernel,
         grid=(B // k,),
-        in_specs=[
-            pl.BlockSpec((k, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 5, h, w, cin), out_dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(g, taps)
+    )(*args)
+    if act is not None:
+        return outs[0], outs[1].reshape(cin), outs[2].reshape(cin)
+    return outs[0], None, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_ico_conv_s2s(x, taps, bias, subdivisions, corner_mode="average", stride=1):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fic(x, taps, bias, act_mul, act_add, subdivisions, corner_mode, stride,
+         with_stats):
+    act = None if act_mul is None else (act_mul, act_add)
+    return _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride,
+                           act, with_stats)
+
+
+def _fwd(x, taps, bias, act_mul, act_add, subdivisions, corner_mode, stride,
+         with_stats):
+    y, st = _fic(x, taps, bias, act_mul, act_add, subdivisions, corner_mode,
+                 stride, with_stats)
+    res = (x, taps, bias, act_mul, act_add, y if with_stats else None)
+    return (y, st), res
+
+
+def _bwd(subdivisions, corner_mode, stride, with_stats, res, g):
+    x, taps, bias, act_mul, act_add, y = res
+    gy, gst = g
+    if with_stats:
+        gy = (
+            gy.astype(jnp.float32)
+            + gst[0].astype(jnp.float32)
+            + 2.0 * y.astype(jnp.float32) * gst[1].astype(jnp.float32)
+        ).astype(gy.dtype)
+    act = None if act_mul is None else (act_mul, act_add)
+    dx, dmul, dadd = _pallas_dx(gy, taps, subdivisions, corner_mode, x.dtype,
+                                stride, act=act, x=x)
+    dtaps = _pallas_dtaps(x, gy, subdivisions, corner_mode, stride, act=act)
+    dbias = None if bias is None else jnp.sum(gy, axis=(0, 1, 2, 3)).astype(bias.dtype)
+    return dx, dtaps, dbias, dmul, dadd
+
+
+_fic.defvjp(_fwd, _bwd)
+
+
+def fused_ico_conv_s2s(x, taps, bias, subdivisions, corner_mode="average",
+                       stride=1, act=None, with_stats=False):
     """Drop-in fused hex conv: (B,5,h,w,Cin) -> (B,5,h/stride,w/stride,Cout).
 
-    bias may be None; stride ∈ {1, 2}. Backward = fused Pallas kernels
-    (dtaps accumulated across the batch grid; dx as the exact transpose of
-    the halo pad), verified against the XLA composition's autodiff in tests.
+    bias may be None; stride ∈ {1, 2}. act: optional (mul, add) fp32 (C_in,)
+    BN-apply+ReLU prologue applied in-kernel before the halo pad.
+    with_stats: also return (2, C_out) fp32 [sum, sumsq] of the output.
+    Backward = fused Pallas kernels (dtaps accumulated across the batch
+    grid; dx as the exact transpose of the halo pad, gated by the ReLU mask
+    under act), verified against the XLA composition's autodiff in tests.
     """
-    return _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride)
-
-
-def _fwd(x, taps, bias, subdivisions, corner_mode, stride):
-    return (
-        _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride),
-        (x, taps, bias),
-    )
-
-
-def _bwd(subdivisions, corner_mode, stride, res, g):
-    x, taps, bias = res
-    dx = _pallas_dx(g, taps, subdivisions, corner_mode, x.dtype, stride)
-    dtaps = _pallas_dtaps(x, g, subdivisions, corner_mode, stride)
-    dbias = None if bias is None else jnp.sum(g, axis=(0, 1, 2, 3)).astype(bias.dtype)
-    return dx, dtaps, dbias
-
-
-fused_ico_conv_s2s.defvjp(_fwd, _bwd)
+    mul, add = (act if act is not None else (None, None))
+    y, st = _fic(x, taps, bias, mul, add, subdivisions, corner_mode, stride,
+                 with_stats)
+    return (y, st) if with_stats else y

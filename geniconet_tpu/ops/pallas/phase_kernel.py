@@ -22,6 +22,21 @@ ops/phase.py, and the upsample adjoint scatters the four phase cotangents
 back into the padded level-s tensor before reusing the plain conv's
 ``_pad_transpose``.
 
+Two fusion features close the BatchNorm boundary costs (the round-2 trace
+showed ~2 ms/step of BN statistics converts + ~2.5 ms of BN-apply/ReLU
+fusions + layout copies at every kernel/XLA seam):
+
+* ``with_stats=True`` — the forward kernel additionally emits ``(2, C_out)``
+  fp32 ``[sum, sumsq]`` of each tap set's (downcast) output, accumulated
+  across the batch grid, so BatchNorm moments never re-read the activation
+  from HBM. The VJP composes the stats cotangents in XLA:
+  ``g_eff = g + gs[0] + 2·y·gs[1]``.
+* ``act=(mul, add)`` — a per-channel affine + ReLU **prologue**
+  (``x' = relu(x·mul + add)``, i.e. a BatchNorm apply) runs inside the
+  kernel before the halo pad, so the activated tensor never exists in HBM.
+  The dx kernel applies the exact adjoint in-kernel (``mask·mul`` gate) and
+  accumulates ``d_mul/d_add`` across the grid.
+
 Correctness: every op is tested against the XLA phase composition (values
 and grads) in tests/test_phase_kernel.py, which itself is pinned to the
 standard-grid ops in tests/test_phase.py.
@@ -225,6 +240,23 @@ def _upsample_transpose(dphases, h, w):
     return dP
 
 
+def _act_apply(x, mul, add):
+    """BN-apply + ReLU prologue: relu(x·mul + add), fp32 math, input dtype
+    out (relu commutes with round-to-bf16, so this matches the XLA order
+    apply→downcast→relu exactly)."""
+    pre = x.astype(jnp.float32) * mul + add
+    return jnp.maximum(pre, 0.0).astype(x.dtype)
+
+
+def _stats_partial(arrs):
+    """[sum, sumsq] (2, C) fp32 over every position of the given (already
+    downcast) arrays — the BatchNorm moment sufficient statistics."""
+    axes0 = tuple(range(arrs[0].ndim - 1))
+    s = sum(jnp.sum(a.astype(jnp.float32), axis=axes0) for a in arrs)
+    ss = sum(jnp.sum(jnp.square(a.astype(jnp.float32)), axis=axes0) for a in arrs)
+    return jnp.stack([s, ss])
+
+
 def _cat_taps(w_refs):
     """Pack every set's taps along the lane (C_out) dimension, so a
     dual-conv kernel runs ONE matmul per tap with N = ΣC_out — at the
@@ -349,60 +381,112 @@ def _dtaps_accumulate(padded, g_groups, o_refs, out_phases, h, w, k, is_first):
 # ---------------------------------------------------------------------------
 
 
-def _pc_fwd_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype):
-    """Phase-input conv forward: refs = 4 phases, n_sets×(taps, bias),
-    then n_sets×len(out_phases) outputs."""
+def _pc_fwd_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype,
+                   has_act, with_stats):
+    """Phase-input conv forward: refs = 4 phases, [act mul, add],
+    n_sets×(taps, bias), then n_sets×len(out_phases) outputs and
+    [n_sets (2, C_out) stats accumulators]."""
     cin = refs[0].shape[-1]
     phases = tuple(r[...].reshape(k * 5, h, w, cin) for r in refs[:4])
-    w_refs = [refs[4 + 2 * i] for i in range(n_sets)]
-    b_refs = [refs[5 + 2 * i] for i in range(n_sets)]
-    outs = refs[4 + 2 * n_sets :]
+    idx = 4
+    if has_act:
+        mul, add = refs[4][0], refs[5][0]
+        phases = tuple(_act_apply(p, mul, add) for p in phases)
+        idx = 6
+    w_refs = [refs[idx + 2 * i] for i in range(n_sets)]
+    b_refs = [refs[idx + 1 + 2 * i] for i in range(n_sets)]
+    outs = refs[idx + 2 * n_sets : idx + 2 * n_sets + n_sets * len(out_phases)]
+    stat_outs = refs[idx + 2 * n_sets + n_sets * len(out_phases) :]
     padded = _phase_pad_k(phases, k, h, w, corner_mode)
     results = _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype)
     i = 0
-    for per_set in results:
+    for si, per_set in enumerate(results):
         for arr in per_set:
             outs[i][...] = arr
             i += 1
+        if with_stats:
+            part = _stats_partial(per_set)
+
+            @pl.when(pl.program_id(0) == 0)
+            def _(si=si):
+                stat_outs[si][...] = jnp.zeros_like(stat_outs[si])
+
+            stat_outs[si][...] += part
 
 
-def _pc_dx_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype):
+def _pc_dx_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype,
+                  has_act):
     """Phase-input conv dx: refs = n_sets groups of len(out_phases) g refs,
-    n_sets taps, then 4 dphase outputs."""
+    n_sets taps, [4 raw phases, act mul, add], then 4 dphase outputs and
+    [d_mul, d_add (1, C_in) accumulators]. With act, the returned dphases
+    are w.r.t. the RAW input: dL/dx = dL/dx' · mul · 1{x·mul+add > 0}."""
     n_out = len(out_phases)
     g_groups = [refs[i * n_out : (i + 1) * n_out] for i in range(n_sets)]
-    w_refs = refs[n_sets * n_out : n_sets * n_out + n_sets]
-    outs = refs[n_sets * n_out + n_sets :]
+    idx = n_sets * n_out
+    w_refs = refs[idx : idx + n_sets]
+    idx += n_sets
     cin = w_refs[0].shape[1]
+    if has_act:
+        raw = tuple(r[...].reshape(k * 5, h, w, cin) for r in refs[idx : idx + 4])
+        mul, add = refs[idx + 4][0], refs[idx + 5][0]
+        idx += 6
+    outs = refs[idx : idx + 4]
     dpad = _dpad_accumulate(g_groups, w_refs, out_phases, h, w, k, cin)
-    dphases = _phase_pad_transpose(dpad, k, h, w, corner_mode)
-    for o_ref, d in zip(outs, dphases):
-        o_ref[...] = d.reshape(k, 5, h, w, cin).astype(out_dtype)
+    dphases = _phase_pad_transpose(dpad, k, h, w, corner_mode)  # = dL/dx' fp32
+    if not has_act:
+        for o_ref, d in zip(outs, dphases):
+            o_ref[...] = d.reshape(k, 5, h, w, cin).astype(out_dtype)
+        return
+    dmul_ref, dadd_ref = refs[idx + 4], refs[idx + 5]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dmul_ref[...] = jnp.zeros_like(dmul_ref)
+        dadd_ref[...] = jnp.zeros_like(dadd_ref)
+
+    dmul_part = jnp.zeros((cin,), jnp.float32)
+    dadd_part = jnp.zeros((cin,), jnp.float32)
+    for o_ref, d, x in zip(outs, dphases, raw):
+        x32 = x.astype(jnp.float32)
+        mask = (x32 * mul + add > 0.0).astype(jnp.float32)
+        dm = d * mask
+        o_ref[...] = (dm * mul).reshape(k, 5, h, w, cin).astype(out_dtype)
+        dmul_part += jnp.sum(dm * x32, axis=(0, 1, 2))
+        dadd_part += jnp.sum(dm, axis=(0, 1, 2))
+    dmul_ref[...] += dmul_part.reshape(1, cin)
+    dadd_ref[...] += dadd_part.reshape(1, cin)
 
 
-def _pc_dtaps_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets):
-    """Phase-input conv dtaps: refs = 4 phases, n_sets groups of g refs,
-    then n_sets (7, cin, cout) accumulator outputs."""
+def _pc_dtaps_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, has_act):
+    """Phase-input conv dtaps: refs = 4 phases, [act mul, add], n_sets groups
+    of g refs, then n_sets (7, cin, cout) accumulator outputs."""
     n_out = len(out_phases)
     cin = refs[0].shape[-1]
     phases = tuple(r[...].reshape(k * 5, h, w, cin) for r in refs[:4])
+    idx = 4
+    if has_act:
+        mul, add = refs[4][0], refs[5][0]
+        phases = tuple(_act_apply(p, mul, add) for p in phases)
+        idx = 6
     g_groups = [
-        refs[4 + i * n_out : 4 + (i + 1) * n_out] for i in range(n_sets)
+        refs[idx + i * n_out : idx + (i + 1) * n_out] for i in range(n_sets)
     ]
-    outs = refs[4 + n_sets * n_out :]
+    outs = refs[idx + n_sets * n_out :]
     padded = _phase_pad_k(phases, k, h, w, corner_mode)
     _dtaps_accumulate(
         padded, g_groups, outs, out_phases, h, w, k, pl.program_id(0) == 0
     )
 
 
-def _up_fwd_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype):
+def _up_fwd_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype, with_stats):
     """Upsample + conv forward: refs = x (std level-s layout),
-    n_sets×(taps, bias), then n_sets×4 phase outputs."""
+    n_sets×(taps, bias), then n_sets×4 phase outputs and [n_sets (2, C_out)
+    stats accumulators]."""
     x_ref = refs[0]
     w_refs = [refs[1 + 2 * i] for i in range(n_sets)]
     b_refs = [refs[2 + 2 * i] for i in range(n_sets)]
-    outs = refs[1 + 2 * n_sets :]
+    outs = refs[1 + 2 * n_sets : 1 + 2 * n_sets + 4 * n_sets]
+    stat_outs = refs[1 + 2 * n_sets + 4 * n_sets :]
     P = jnp.concatenate(
         [_build_padded(x_ref[i], h, w, corner_mode) for i in range(k)], axis=0
     )
@@ -410,10 +494,18 @@ def _up_fwd_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype):
     padded = _phase_pad_k(phases, k, h, w, corner_mode)
     results = _contract(padded, w_refs, b_refs, _ALL, h, w, k, out_dtype)
     i = 0
-    for per_set in results:
+    for si, per_set in enumerate(results):
         for arr in per_set:
             outs[i][...] = arr
             i += 1
+        if with_stats:
+            part = _stats_partial(per_set)
+
+            @pl.when(pl.program_id(0) == 0)
+            def _(si=si):
+                stat_outs[si][...] = jnp.zeros_like(stat_outs[si])
+
+            stat_outs[si][...] += part
 
 
 def _up_dx_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype):
@@ -476,8 +568,17 @@ def _norm_bias(bias, cout, dtype):
     return bias.reshape(1, cout).astype(dtype)
 
 
-def _phase_conv_fwd(phases, tap_sets, corner_mode, out_phases):
-    """tap_sets: list of (taps, bias)."""
+def _acc_spec(shape):
+    """Grid-accumulated output block (same block every program)."""
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda b, nd=nd: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _phase_conv_fwd(phases, tap_sets, corner_mode, out_phases, act=None,
+                    with_stats=False):
+    """tap_sets: list of (taps, bias). act: optional (mul, add) fp32 (C_in,)
+    BN-apply+ReLU prologue. Returns (per-set tuples of out phases,
+    per-set (2, C_out) stats or None)."""
     B = phases[0].shape[0]
     h, w = phases[0].shape[2], phases[0].shape[3]
     cin = phases[0].shape[-1]
@@ -489,9 +590,14 @@ def _phase_conv_fwd(phases, tap_sets, corner_mode, out_phases):
     kernel = functools.partial(
         _pc_fwd_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
         out_phases=out_phases, n_sets=n_sets, out_dtype=dtype,
+        has_act=act is not None, with_stats=with_stats,
     )
     in_specs = [_block((k, 5, h, w, cin))] * 4
     args = list(phases)
+    if act is not None:
+        in_specs += [_block((1, cin))] * 2
+        args += [act[0].reshape(1, cin).astype(jnp.float32),
+                 act[1].reshape(1, cin).astype(jnp.float32)]
     for taps, bias in tap_sets:
         in_specs += [_full(), _block((1, taps.shape[-1]))]
         args += [taps, _norm_bias(bias, taps.shape[-1], taps.dtype)]
@@ -500,6 +606,10 @@ def _phase_conv_fwd(phases, tap_sets, corner_mode, out_phases):
         for _ in out_phases:
             out_shape.append(jax.ShapeDtypeStruct((B, 5, h, w, cout), dtype))
             out_specs.append(_block((k, 5, h, w, cout)))
+    if with_stats:
+        for cout in couts:
+            out_shape.append(jax.ShapeDtypeStruct((2, cout), jnp.float32))
+            out_specs.append(_acc_spec((2, cout)))
     flops = 2 * B * 5 * h * w * len(out_phases) * 7 * cin * sum(couts)
     outs = pl.pallas_call(
         kernel,
@@ -510,10 +620,15 @@ def _phase_conv_fwd(phases, tap_sets, corner_mode, out_phases):
         **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 4),
     )(*args)
     n_out = len(out_phases)
-    return [tuple(outs[i * n_out : (i + 1) * n_out]) for i in range(n_sets)]
+    sets = [tuple(outs[i * n_out : (i + 1) * n_out]) for i in range(n_sets)]
+    stats = list(outs[n_sets * n_out :]) if with_stats else [None] * n_sets
+    return sets, stats
 
 
-def _phase_conv_dx(g_groups, tap_sets, corner_mode, out_phases, cin, dtype):
+def _phase_conv_dx(g_groups, tap_sets, corner_mode, out_phases, cin, dtype,
+                   act=None, raw_phases=None):
+    """With act, also needs the RAW input phases and returns
+    (dphases, d_mul, d_add); otherwise (dphases, None, None)."""
     B = g_groups[0][0].shape[0]
     h, w = g_groups[0][0].shape[2], g_groups[0][0].shape[3]
     n_sets = len(tap_sets)
@@ -523,6 +638,7 @@ def _phase_conv_dx(g_groups, tap_sets, corner_mode, out_phases, cin, dtype):
     kernel = functools.partial(
         _pc_dx_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
         out_phases=out_phases, n_sets=n_sets, out_dtype=dtype,
+        has_act=act is not None,
     )
     in_specs, args = [], []
     for g_group, cout in zip(g_groups, couts):
@@ -531,8 +647,17 @@ def _phase_conv_dx(g_groups, tap_sets, corner_mode, out_phases, cin, dtype):
     for taps, _ in tap_sets:
         in_specs.append(_full())
         args.append(taps)
+    if act is not None:
+        in_specs += [_block((k, 5, h, w, cin))] * 4
+        args += list(raw_phases)
+        in_specs += [_block((1, cin))] * 2
+        args += [act[0].reshape(1, cin).astype(jnp.float32),
+                 act[1].reshape(1, cin).astype(jnp.float32)]
     out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, cin), dtype)] * 4
     out_specs = [_block((k, 5, h, w, cin))] * 4
+    if act is not None:
+        out_shape += [jax.ShapeDtypeStruct((1, cin), jnp.float32)] * 2
+        out_specs += [_acc_spec((1, cin))] * 2
     flops = 2 * B * 5 * h * w * len(out_phases) * 7 * cin * sum(couts)
     outs = pl.pallas_call(
         kernel,
@@ -542,10 +667,13 @@ def _phase_conv_dx(g_groups, tap_sets, corner_mode, out_phases, cin, dtype):
         out_shape=out_shape,
         **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 4),
     )(*args)
-    return tuple(outs)
+    if act is not None:
+        return tuple(outs[:4]), outs[4].reshape(cin), outs[5].reshape(cin)
+    return tuple(outs), None, None
 
 
-def _phase_conv_dtaps(phases, g_groups, tap_shapes, corner_mode, out_phases):
+def _phase_conv_dtaps(phases, g_groups, tap_shapes, corner_mode, out_phases,
+                      act=None):
     B = phases[0].shape[0]
     h, w = phases[0].shape[2], phases[0].shape[3]
     cin = phases[0].shape[-1]
@@ -555,10 +683,14 @@ def _phase_conv_dtaps(phases, g_groups, tap_shapes, corner_mode, out_phases):
     k = _choose_k(B, per_sample, 5 * h * w)
     kernel = functools.partial(
         _pc_dtaps_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
-        out_phases=out_phases, n_sets=n_sets,
+        out_phases=out_phases, n_sets=n_sets, has_act=act is not None,
     )
     in_specs = [_block((k, 5, h, w, cin))] * 4
     args = list(phases)
+    if act is not None:
+        in_specs += [_block((1, cin))] * 2
+        args += [act[0].reshape(1, cin).astype(jnp.float32),
+                 act[1].reshape(1, cin).astype(jnp.float32)]
     for g_group, cout in zip(g_groups, couts):
         in_specs += [_block((k, 5, h, w, cout))] * len(out_phases)
         args += list(g_group)
@@ -583,82 +715,142 @@ def _dbias(g_group):
     return sum(jnp.sum(g, axis=(0, 1, 2, 3)) for g in g_group)
 
 
+# --------------------------- shared vjp helpers ----------------------------
+
+
+def _stats_geff(g_group, y_group, g_st):
+    """Fold a stats output's cotangent into the activation cotangents:
+    d/dy of gs·(Σy, Σy²) = gs[0] + 2·y·gs[1]. One XLA elementwise pass that
+    fuses with the surrounding bwd ops; zero-cotangent stats cost nothing
+    after DCE."""
+    if g_st is None:
+        return tuple(g_group)
+    gs0 = g_st[0].astype(jnp.float32)
+    gs1 = g_st[1].astype(jnp.float32)
+    return tuple(
+        (g.astype(jnp.float32) + gs0 + 2.0 * y.astype(jnp.float32) * gs1)
+        .astype(g.dtype)
+        for g, y in zip(g_group, y_group)
+    )
+
+
+def _mk_act(act_mul, act_add):
+    return None if act_mul is None else (act_mul, act_add)
+
+
 # --------------------------- fused_phase_conv_s1 ---------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_phase_conv_s1(phases, taps, bias, corner_mode="average"):
-    """Stride-1 hex conv in phase form: 4 phases in -> 4 phases out."""
-    (out,) = _phase_conv_fwd(phases, [(taps, bias)], corner_mode, _ALL)
-    return out
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _pcs1(phases, taps, bias, act_mul, act_add, corner_mode, with_stats):
+    (out,), (st,) = _phase_conv_fwd(
+        phases, [(taps, bias)], corner_mode, _ALL,
+        act=_mk_act(act_mul, act_add), with_stats=with_stats,
+    )
+    return out, st
 
 
-def _pcs1_fwd(phases, taps, bias, corner_mode):
-    (out,) = _phase_conv_fwd(phases, [(taps, bias)], corner_mode, _ALL)
-    return out, (phases, taps, bias)
+def _pcs1_fwd(phases, taps, bias, act_mul, act_add, corner_mode, with_stats):
+    out, st = _pcs1(phases, taps, bias, act_mul, act_add, corner_mode, with_stats)
+    res = (phases, taps, bias, act_mul, act_add, out if with_stats else None)
+    return (out, st), res
 
 
-def _pcs1_bwd(corner_mode, res, g):
-    phases, taps, bias = res
-    dtype = phases[0].dtype
-    dphases = _phase_conv_dx([g], [(taps, bias)], corner_mode, _ALL,
-                             phases[0].shape[-1], dtype)
-    (dtaps,) = _phase_conv_dtaps(phases, [g], [taps.shape], corner_mode, _ALL)
-    db = None if bias is None else _dbias(g).astype(bias.dtype)
-    return dphases, dtaps.astype(taps.dtype), db
+def _pcs1_bwd(corner_mode, with_stats, res, g):
+    phases, taps, bias, act_mul, act_add, out = res
+    g_out, g_st = g
+    g_out = _stats_geff(g_out, out, g_st if with_stats else None)
+    act = _mk_act(act_mul, act_add)
+    dphases, dmul, dadd = _phase_conv_dx(
+        [g_out], [(taps, bias)], corner_mode, _ALL,
+        phases[0].shape[-1], phases[0].dtype, act=act, raw_phases=phases,
+    )
+    (dtaps,) = _phase_conv_dtaps(
+        phases, [g_out], [taps.shape], corner_mode, _ALL, act=act
+    )
+    db = None if bias is None else _dbias(g_out).astype(bias.dtype)
+    return dphases, dtaps.astype(taps.dtype), db, dmul, dadd
 
 
-fused_phase_conv_s1.defvjp(_pcs1_fwd, _pcs1_bwd)
+_pcs1.defvjp(_pcs1_fwd, _pcs1_bwd)
+
+
+def fused_phase_conv_s1(phases, taps, bias, corner_mode="average", act=None,
+                        with_stats=False):
+    """Stride-1 hex conv in phase form: 4 phases in -> 4 phases out.
+
+    act: optional (mul, add) fp32 (C_in,) — in-kernel BN-apply+ReLU prologue.
+    with_stats: also return (2, C_out) fp32 [sum, sumsq] of the output."""
+    mul, add = (act if act is not None else (None, None))
+    out, st = _pcs1(tuple(phases), taps, bias, mul, add, corner_mode, with_stats)
+    return (out, st) if with_stats else out
 
 
 # ---------------------------- fused_dual_s2_conv ---------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _ds2(phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
+         corner_mode, with_stats):
+    ((ya,), (yb,)), (sa, sb) = _phase_conv_fwd(
+        phases, [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, (2,),
+        act=_mk_act(act_mul, act_add), with_stats=with_stats,
+    )
+    return ya, yb, sa, sb
+
+
+def _ds2_fwd(phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
+             corner_mode, with_stats):
+    ya, yb, sa, sb = _ds2(phases, taps_a, bias_a, taps_b, bias_b,
+                          act_mul, act_add, corner_mode, with_stats)
+    res = (phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
+           (ya, yb) if with_stats else None)
+    return (ya, yb, sa, sb), res
+
+
+def _ds2_bwd(corner_mode, with_stats, res, g):
+    phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add, ys = res
+    ga, gb, gsa, gsb = g
+    if with_stats:
+        (ga,) = _stats_geff((ga,), (ys[0],), gsa)
+        (gb,) = _stats_geff((gb,), (ys[1],), gsb)
+    act = _mk_act(act_mul, act_add)
+    dphases, dmul, dadd = _phase_conv_dx(
+        [(ga,), (gb,)], [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, (2,),
+        phases[0].shape[-1], phases[0].dtype, act=act, raw_phases=phases,
+    )
+    dta, dtb = _phase_conv_dtaps(
+        phases, [(ga,), (gb,)], [taps_a.shape, taps_b.shape], corner_mode, (2,),
+        act=act,
+    )
+    dba = None if bias_a is None else _dbias([ga]).astype(bias_a.dtype)
+    dbb = None if bias_b is None else _dbias([gb]).astype(bias_b.dtype)
+    return (dphases, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype),
+            dbb, dmul, dadd)
+
+
+_ds2.defvjp(_ds2_fwd, _ds2_bwd)
+
+
 def fused_dual_s2_conv(phases, taps_a, bias_a, taps_b, bias_b,
-                       corner_mode="average"):
+                       corner_mode="average", act=None, with_stats=False):
     """Both stride-2 convs of a DownBlock in one kernel.
 
     phases: the 4 parity phases of the level-s input (XLA-side slices).
     Returns (y_a, y_b), each a standard level-(s-1) tensor — the stride-2
     conv is output phase (1,0) of the phase conv, so no parity reshapes.
-    """
-    (ya,), (yb,) = _phase_conv_fwd(
-        phases, [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, (2,)
-    )
-    return ya, yb
-
-
-def _ds2_fwd(phases, taps_a, bias_a, taps_b, bias_b, corner_mode):
-    (ya,), (yb,) = _phase_conv_fwd(
-        phases, [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, (2,)
-    )
-    return (ya, yb), (phases, taps_a, bias_a, taps_b, bias_b)
-
-
-def _ds2_bwd(corner_mode, res, g):
-    phases, taps_a, bias_a, taps_b, bias_b = res
-    ga, gb = g
-    dtype = phases[0].dtype
-    dphases = _phase_conv_dx(
-        [(ga,), (gb,)], [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, (2,),
-        phases[0].shape[-1], dtype,
-    )
-    dta, dtb = _phase_conv_dtaps(
-        phases, [(ga,), (gb,)], [taps_a.shape, taps_b.shape], corner_mode, (2,)
-    )
-    dba = None if bias_a is None else _dbias([ga]).astype(bias_a.dtype)
-    dbb = None if bias_b is None else _dbias([gb]).astype(bias_b.dtype)
-    return dphases, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype), dbb
-
-
-fused_dual_s2_conv.defvjp(_ds2_fwd, _ds2_bwd)
+    act: optional in-kernel BN-apply+ReLU prologue on the input phases.
+    with_stats: additionally return (2, C) [sum, sumsq] per output."""
+    mul, add = (act if act is not None else (None, None))
+    ya, yb, sa, sb = _ds2(tuple(phases), taps_a, bias_a, taps_b, bias_b,
+                          mul, add, corner_mode, with_stats)
+    return (ya, yb, sa, sb) if with_stats else (ya, yb)
 
 
 # ---------------------------- fused_up_dual_conv ---------------------------
 
 
-def _up_conv_fwd_impl(x, tap_sets, corner_mode):
+def _up_conv_fwd_impl(x, tap_sets, corner_mode, with_stats=False):
     B = x.shape[0]
     h, w = x.shape[2], x.shape[3]
     cin = x.shape[-1]
@@ -669,7 +861,7 @@ def _up_conv_fwd_impl(x, tap_sets, corner_mode):
     k = _choose_k(B, per_sample, 5 * h * w)
     kernel = functools.partial(
         _up_fwd_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
-        n_sets=n_sets, out_dtype=dtype,
+        n_sets=n_sets, out_dtype=dtype, with_stats=with_stats,
     )
     in_specs = [_block((k, 5, h, w, cin))]
     args = [x]
@@ -681,6 +873,10 @@ def _up_conv_fwd_impl(x, tap_sets, corner_mode):
         for _ in range(4):
             out_shape.append(jax.ShapeDtypeStruct((B, 5, h, w, cout), dtype))
             out_specs.append(_block((k, 5, h, w, cout)))
+    if with_stats:
+        for cout in couts:
+            out_shape.append(jax.ShapeDtypeStruct((2, cout), jnp.float32))
+            out_specs.append(_acc_spec((2, cout)))
     flops = 2 * B * 5 * h * w * 4 * 7 * cin * sum(couts)
     outs = pl.pallas_call(
         kernel,
@@ -690,30 +886,33 @@ def _up_conv_fwd_impl(x, tap_sets, corner_mode):
         out_shape=out_shape,
         **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 5),
     )(*args)
-    return [tuple(outs[i * 4 : (i + 1) * 4]) for i in range(n_sets)]
+    sets = [tuple(outs[i * 4 : (i + 1) * 4]) for i in range(n_sets)]
+    stats = list(outs[n_sets * 4 :]) if with_stats else [None] * n_sets
+    return sets, stats
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_up_dual_conv(x, taps_a, bias_a, taps_b, bias_b, corner_mode="average"):
-    """An UpBlock's upsample + both first convs, fused.
-
-    x: standard level-s tensor (B, 5, h, w, C_in). Returns two 4-tuples of
-    level-(s+1) phase tensors (B, 5, h, w, C_out) — one per tap set. The
-    upsampled tensor never reaches HBM; interleave the outputs with
-    ops.phase.phase_merge after the block's remaining elementwise work.
-    """
-    ya, yb = _up_conv_fwd_impl(x, [(taps_a, bias_a), (taps_b, bias_b)], corner_mode)
-    return ya, yb
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _upd(x, taps_a, bias_a, taps_b, bias_b, corner_mode, with_stats):
+    (ya, yb), (sa, sb) = _up_conv_fwd_impl(
+        x, [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, with_stats
+    )
+    return ya, yb, sa, sb
 
 
-def _upd_fwd(x, taps_a, bias_a, taps_b, bias_b, corner_mode):
-    ya, yb = _up_conv_fwd_impl(x, [(taps_a, bias_a), (taps_b, bias_b)], corner_mode)
-    return (ya, yb), (x, taps_a, bias_a, taps_b, bias_b)
+def _upd_fwd(x, taps_a, bias_a, taps_b, bias_b, corner_mode, with_stats):
+    ya, yb, sa, sb = _upd(x, taps_a, bias_a, taps_b, bias_b, corner_mode,
+                          with_stats)
+    res = (x, taps_a, bias_a, taps_b, bias_b,
+           (ya, yb) if with_stats else None)
+    return (ya, yb, sa, sb), res
 
 
-def _upd_bwd(corner_mode, res, g):
-    x, taps_a, bias_a, taps_b, bias_b = res
-    ga, gb = g
+def _upd_bwd(corner_mode, with_stats, res, g):
+    x, taps_a, bias_a, taps_b, bias_b, ys = res
+    ga, gb, gsa, gsb = g
+    if with_stats:
+        ga = _stats_geff(ga, ys[0], gsa)
+        gb = _stats_geff(gb, ys[1], gsb)
     B = x.shape[0]
     h, w = x.shape[2], x.shape[3]
     cin = x.shape[-1]
@@ -771,4 +970,19 @@ def _upd_bwd(corner_mode, res, g):
     return dx, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype), dbb
 
 
-fused_up_dual_conv.defvjp(_upd_fwd, _upd_bwd)
+_upd.defvjp(_upd_fwd, _upd_bwd)
+
+
+def fused_up_dual_conv(x, taps_a, bias_a, taps_b, bias_b,
+                       corner_mode="average", with_stats=False):
+    """An UpBlock's upsample + both first convs, fused.
+
+    x: standard level-s tensor (B, 5, h, w, C_in). Returns two 4-tuples of
+    level-(s+1) phase tensors (B, 5, h, w, C_out) — one per tap set (plus a
+    (2, C_out) [sum, sumsq] per set when with_stats). The upsampled tensor
+    never reaches HBM; interleave the outputs with ops.phase.phase_merge
+    after the block's remaining elementwise work.
+    """
+    ya, yb, sa, sb = _upd(x, taps_a, bias_a, taps_b, bias_b, corner_mode,
+                          with_stats)
+    return (ya, yb, sa, sb) if with_stats else (ya, yb)
