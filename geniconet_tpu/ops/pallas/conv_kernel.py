@@ -407,6 +407,181 @@ def _dx_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act):
     dadd_ref[...] += jnp.sum(dm, axis=(0, 1, 2)).reshape(1, cin)
 
 
+def _std_bwd_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act,
+                    with_stats):
+    """Merged standard-conv backward: dx + dtaps + Σg_eff (+ d_mul/d_add) in
+    one kernel, sharing the g read, the stats-cotangent fold, and the padded
+    halo. refs (inputs): x, [mul, add], g, [y, gs], taps; (outputs): dx,
+    dtaps, gsum, [dmul, dadd]."""
+    x_ref = refs[0]
+    idx = 1
+    if has_act:
+        mul, add = refs[1][0], refs[2][0]
+        idx = 3
+    g_ref = refs[idx]
+    idx += 1
+    if with_stats:
+        y_ref, gs_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    w_ref = refs[idx]
+    idx += 1
+    o_ref, dt_ref, gsum_ref = refs[idx], refs[idx + 1], refs[idx + 2]
+    first = pl.program_id(0) == 0
+    cin = x_ref.shape[-1]
+    cout = w_ref.shape[-1]
+    ho, wo = h // stride, w // stride
+    rows = k * 5 * ho * wo
+
+    g = g_ref[...]
+    if with_stats:
+        g = (
+            g.astype(jnp.float32)
+            + gs_ref[0].astype(jnp.float32)
+            + 2.0 * y_ref[...].astype(jnp.float32) * gs_ref[1].astype(jnp.float32)
+        ).astype(out_dtype)
+
+    @pl.when(first)
+    def _():
+        gsum_ref[...] = jnp.zeros_like(gsum_ref)
+        dt_ref[...] = jnp.zeros_like(dt_ref)
+
+    gsum_ref[...] += jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3)).reshape(1, cout)
+
+    # dx = padT(convT(g_eff))
+    gm = g.reshape(rows, cout).astype(jnp.float32)
+    n = k * 5
+    dP = jnp.zeros((n, h + 2, w + 2, cin), jnp.float32)
+    for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
+        contrib = jax.lax.dot_general(
+            gm, w_ref[t].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(n, ho, wo, cin)
+        if stride == 1:
+            dP += jnp.pad(
+                contrib, ((0, 0), (1 + di, 1 - di), (1 + dj, 1 - dj), (0, 0))
+            )
+        else:
+            a0, b0 = 2 + di, 1 + dj
+            ra, pa = a0 // 2, a0 % 2
+            cb, pb = b0 // 2, b0 % 2
+            z = jnp.zeros_like(contrib)
+            cols = jnp.stack([contrib, z] if pb == 0 else [z, contrib], axis=3)
+            cols = cols.reshape(n, ho, wo * 2, cin)
+            rws = jnp.stack([cols, jnp.zeros_like(cols)] if pa == 0
+                            else [jnp.zeros_like(cols), cols], axis=2)
+            rws = rws.reshape(n, ho * 2, wo * 2, cin)
+            dP += jnp.pad(
+                rws,
+                ((0, 0), (2 * ra, (h + 2) - 2 * ra - ho * 2),
+                 (2 * cb, (w + 2) - 2 * cb - wo * 2), (0, 0)),
+            )
+    dx = _pad_transpose(dP, h=h, w=w, corner_mode=corner_mode, k=k)
+    xv = x_ref[...]
+    if has_act:
+        dmul_ref, dadd_ref = refs[idx + 3], refs[idx + 4]
+        x32 = xv.reshape(n, h, w, cin).astype(jnp.float32)
+        pre = x32 * mul + add
+        mask = (pre > 0.0).astype(jnp.float32)
+        dm = dx * mask
+        o_ref[...] = (dm * mul).reshape(k, 5, h, w, cin).astype(out_dtype)
+
+        @pl.when(first)
+        def _():
+            dmul_ref[...] = jnp.zeros_like(dmul_ref)
+            dadd_ref[...] = jnp.zeros_like(dadd_ref)
+
+        dmul_ref[...] += jnp.sum(dm * x32, axis=(0, 1, 2)).reshape(1, cin)
+        dadd_ref[...] += jnp.sum(dm, axis=(0, 1, 2)).reshape(1, cin)
+        xv = jnp.maximum(pre, 0.0).astype(xv.dtype).reshape(k, 5, h, w, cin)
+    else:
+        o_ref[...] = dx.reshape(k, 5, h, w, cin).astype(out_dtype)
+
+    # dtaps shares the (activated) padded halo
+    P = jnp.concatenate(
+        [_build_padded(xv[i], h, w, corner_mode) for i in range(k)], axis=0
+    )
+    gm2 = g.reshape(rows, cout).astype(jnp.float32)
+    for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
+        sl = _tap_slice(P, h, w, di, dj, stride).reshape(rows, cin)
+        dt_ref[t] += jax.lax.dot_general(
+            sl.astype(jnp.float32), gm2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _std_bwd(x, g, taps, y, gs, subdivisions, corner_mode, stride, act,
+             with_stats, out_dtype):
+    """pallas_call plumbing for `_std_bwd_kernel`.
+    Returns (dx, dtaps, gsum, dmul, dadd)."""
+    B = x.shape[0]
+    h, w = ico.chart_shape(subdivisions)
+    ho, wo = h // stride, w // stride
+    cin, cout = x.shape[-1], g.shape[-1]
+    k = _choose_k(B, h, w, cin, cout, x.dtype.itemsize)
+    kernel = functools.partial(
+        _std_bwd_kernel, h=h, w=w, corner_mode=corner_mode, stride=stride,
+        k=k, out_dtype=out_dtype, has_act=act is not None,
+        with_stats=with_stats,
+    )
+    bspec = lambda shape: pl.BlockSpec(
+        shape, lambda b, nd=len(shape): (b,) + (0,) * (nd - 1),
+        memory_space=pltpu.VMEM,
+    )
+    aspec = lambda shape: pl.BlockSpec(
+        shape, lambda b, nd=len(shape): (0,) * nd, memory_space=pltpu.VMEM
+    )
+    in_specs = [bspec((k, 5, h, w, cin))]
+    args = [x]
+    if act is not None:
+        in_specs += [aspec((1, cin))] * 2
+        args += [act[0].reshape(1, cin).astype(jnp.float32),
+                 act[1].reshape(1, cin).astype(jnp.float32)]
+    in_specs.append(bspec((k, 5, ho, wo, cout)))
+    args.append(g)
+    if with_stats:
+        in_specs += [bspec((k, 5, ho, wo, cout)), aspec((2, cout))]
+        args += [y, gs]
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    args.append(taps)
+    out_specs = [
+        bspec((k, 5, h, w, cin)),
+        aspec((7, cin, cout)),
+        aspec((1, cout)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 5, h, w, cin), out_dtype),
+        jax.ShapeDtypeStruct((7, cin, cout), jnp.float32),
+        jax.ShapeDtypeStruct((1, cout), jnp.float32),
+    ]
+    if act is not None:
+        out_specs += [aspec((1, cin))] * 2
+        out_shape += [jax.ShapeDtypeStruct((1, cin), jnp.float32)] * 2
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(*args)
+    dx, dtaps, gsum = outs[0], outs[1], outs[2].reshape(cout)
+    if act is not None:
+        return dx, dtaps, gsum, outs[3].reshape(cin), outs[4].reshape(cin)
+    return dx, dtaps, gsum, None, None
+
+
+def _std_bwd_vmem_ok(subdivisions, cin, cout):
+    from geniconet_tpu.ops.pallas.phase_kernel import _merged_bwd_enabled
+
+    if not _merged_bwd_enabled():
+        return False
+    h, w = ico.chart_shape(subdivisions)
+    c = max(cin, cout)
+    return 24 * 5 * h * w * c * 4 < 90 * 1024 * 1024
+
+
 def _pallas_dtaps(x, g, subdivisions, corner_mode, stride=1, act=None):
     B = x.shape[0]
     h, w = ico.chart_shape(subdivisions)
@@ -506,13 +681,20 @@ def _fwd(x, taps, bias, act_mul, act_add, subdivisions, corner_mode, stride,
 def _bwd(subdivisions, corner_mode, stride, with_stats, res, g):
     x, taps, bias, act_mul, act_add, y = res
     gy, gst = g
+    act = None if act_mul is None else (act_mul, act_add)
+    if _std_bwd_vmem_ok(subdivisions, x.shape[-1], gy.shape[-1]):
+        dx, dtaps, gsum, dmul, dadd = _std_bwd(
+            x, gy, taps, y, gst if with_stats else None, subdivisions,
+            corner_mode, stride, act, with_stats, x.dtype,
+        )
+        dbias = None if bias is None else gsum.astype(bias.dtype)
+        return dx, dtaps.astype(x.dtype), dbias, dmul, dadd
     if with_stats:
         gy = (
             gy.astype(jnp.float32)
             + gst[0].astype(jnp.float32)
             + 2.0 * y.astype(jnp.float32) * gst[1].astype(jnp.float32)
         ).astype(gy.dtype)
-    act = None if act_mul is None else (act_mul, act_add)
     dx, dmul, dadd = _pallas_dx(gy, taps, subdivisions, corner_mode, x.dtype,
                                 stride, act=act, x=x)
     dtaps = _pallas_dtaps(x, gy, subdivisions, corner_mode, stride, act=act)

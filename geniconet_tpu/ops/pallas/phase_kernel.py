@@ -478,6 +478,198 @@ def _pc_dtaps_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, has_act):
     )
 
 
+def _geff_fold(g_refs, y_refs, gs_ref, dtype):
+    """In-VMEM stats-cotangent fold: g_eff = g + gs[0] + 2·y·gs[1], downcast
+    to the activation dtype (bit-matching the former XLA-side fold)."""
+    if gs_ref is None:
+        return [g[...] for g in g_refs]
+    gs0 = gs_ref[0].astype(jnp.float32)
+    gs1 = gs_ref[1].astype(jnp.float32)
+    return [
+        (g[...].astype(jnp.float32) + gs0 + 2.0 * y[...].astype(jnp.float32) * gs1)
+        .astype(dtype)
+        for g, y in zip(g_refs, y_refs)
+    ]
+
+
+def _pc_bwd_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype,
+                   has_act, with_stats):
+    """Merged phase-conv backward: ONE kernel computes dphases (dx), dtaps,
+    per-set Σg_eff (for dbias), and d_mul/d_add — sharing the g read, the
+    stats-cotangent fold, and the padded-phase construction that the
+    separate dx/dtaps kernels each paid for.
+
+    refs (inputs): 4 raw phases, [mul, add], n_sets×n_out g, [n_sets×n_out
+    y, n_sets gs(2,C)], n_sets taps;
+    (outputs): 4 dphases, n_sets dtaps (7,cin,cout), n_sets gsum (1,cout),
+    [dmul (1,cin), dadd (1,cin)]."""
+    n_out = len(out_phases)
+    cin = refs[0].shape[-1]
+    raw = tuple(r[...].reshape(k * 5, h, w, cin) for r in refs[:4])
+    idx = 4
+    if has_act:
+        mul, add = refs[4][0], refs[5][0]
+        idx = 6
+    g_refs_flat = refs[idx : idx + n_sets * n_out]
+    idx += n_sets * n_out
+    if with_stats:
+        y_refs_flat = refs[idx : idx + n_sets * n_out]
+        gs_refs = refs[idx + n_sets * n_out : idx + n_sets * n_out + n_sets]
+        idx += n_sets * n_out + n_sets
+    w_refs = refs[idx : idx + n_sets]
+    idx += n_sets
+    outs = refs[idx : idx + 4]
+    dt_refs = refs[idx + 4 : idx + 4 + n_sets]
+    gsum_refs = refs[idx + 4 + n_sets : idx + 4 + 2 * n_sets]
+    first = pl.program_id(0) == 0
+
+    # fold stats cotangents once; reshape to the kernel-internal layout
+    g_groups = []
+    for si in range(n_sets):
+        g_set = g_refs_flat[si * n_out : (si + 1) * n_out]
+        if with_stats:
+            g_set = _geff_fold(
+                g_set, y_refs_flat[si * n_out : (si + 1) * n_out],
+                gs_refs[si], out_dtype,
+            )
+        else:
+            g_set = [g[...] for g in g_set]
+        g_set = [g.reshape(k * 5, h, w, g.shape[-1]) for g in g_set]
+        g_groups.append(g_set)
+
+    # per-set Σ g_eff for the bias gradient
+    for si, g_set in enumerate(g_groups):
+        part = sum(
+            jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)) for g in g_set
+        ).reshape(1, -1)
+
+        @pl.when(first)
+        def _(si=si):
+            gsum_refs[si][...] = jnp.zeros_like(gsum_refs[si])
+
+        gsum_refs[si][...] += part
+
+    # dx path
+    dpad = _dpad_accumulate(g_groups, w_refs, out_phases, h, w, k, cin)
+    dphases = _phase_pad_transpose(dpad, k, h, w, corner_mode)
+    if has_act:
+        dmul_ref, dadd_ref = refs[idx + 4 + 2 * n_sets], refs[idx + 5 + 2 * n_sets]
+
+        @pl.when(first)
+        def _():
+            dmul_ref[...] = jnp.zeros_like(dmul_ref)
+            dadd_ref[...] = jnp.zeros_like(dadd_ref)
+
+        dmul_part = jnp.zeros((cin,), jnp.float32)
+        dadd_part = jnp.zeros((cin,), jnp.float32)
+        acted = []
+        for o_ref, d, x in zip(outs, dphases, raw):
+            x32 = x.astype(jnp.float32)
+            pre = x32 * mul + add
+            mask = (pre > 0.0).astype(jnp.float32)
+            dm = d * mask
+            o_ref[...] = (dm * mul).reshape(k, 5, h, w, cin).astype(out_dtype)
+            dmul_part += jnp.sum(dm * x32, axis=(0, 1, 2))
+            dadd_part += jnp.sum(dm, axis=(0, 1, 2))
+            acted.append(jnp.maximum(pre, 0.0).astype(out_dtype))
+        dmul_ref[...] += dmul_part.reshape(1, cin)
+        dadd_ref[...] += dadd_part.reshape(1, cin)
+        phases_act = tuple(acted)
+    else:
+        for o_ref, d in zip(outs, dphases):
+            o_ref[...] = d.reshape(k, 5, h, w, cin).astype(out_dtype)
+        phases_act = raw
+
+    # dtaps path shares the (activated) padded phases
+    padded = _phase_pad_k(phases_act, k, h, w, corner_mode)
+    _dtaps_accumulate(padded, g_groups, dt_refs, out_phases, h, w, k, first)
+
+
+def _phase_conv_bwd(raw_phases, g_groups, y_groups, gs_list, tap_sets,
+                    corner_mode, out_phases, act, with_stats, out_dtype):
+    """pallas_call plumbing for `_pc_bwd_kernel`. Returns
+    (dphases, dtaps per set, gsum per set, dmul, dadd)."""
+    B = raw_phases[0].shape[0]
+    h, w = raw_phases[0].shape[2], raw_phases[0].shape[3]
+    cin = raw_phases[0].shape[-1]
+    n_sets = len(tap_sets)
+    n_out = len(out_phases)
+    couts = [t.shape[-1] for t, _ in tap_sets]
+    per_sample = 5 * h * w * (14 * cin + 6 * sum(couts)) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+    kernel = functools.partial(
+        _pc_bwd_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
+        out_phases=out_phases, n_sets=n_sets, out_dtype=out_dtype,
+        has_act=act is not None, with_stats=with_stats,
+    )
+    in_specs = [_block((k, 5, h, w, cin))] * 4
+    args = list(raw_phases)
+    if act is not None:
+        in_specs += [_block((1, cin))] * 2
+        args += [act[0].reshape(1, cin).astype(jnp.float32),
+                 act[1].reshape(1, cin).astype(jnp.float32)]
+    for g_group, cout in zip(g_groups, couts):
+        in_specs += [_block((k, 5, h, w, cout))] * n_out
+        args += list(g_group)
+    if with_stats:
+        for y_group, cout in zip(y_groups, couts):
+            in_specs += [_block((k, 5, h, w, cout))] * n_out
+            args += list(y_group)
+        for gs, cout in zip(gs_list, couts):
+            in_specs.append(_acc_spec((2, cout)))
+            args.append(gs)
+    for taps, _ in tap_sets:
+        in_specs.append(_full())
+        args.append(taps)
+    out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, cin), out_dtype)] * 4
+    out_specs = [_block((k, 5, h, w, cin))] * 4
+    for cout in couts:
+        out_shape.append(jax.ShapeDtypeStruct((7, cin, cout), jnp.float32))
+        out_specs.append(_acc_spec((7, cin, cout)))
+    for cout in couts:
+        out_shape.append(jax.ShapeDtypeStruct((1, cout), jnp.float32))
+        out_specs.append(_acc_spec((1, cout)))
+    if act is not None:
+        out_shape += [jax.ShapeDtypeStruct((1, cin), jnp.float32)] * 2
+        out_specs += [_acc_spec((1, cin))] * 2
+    flops = 2 * B * 5 * h * w * n_out * 7 * cin * sum(couts) * 2
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * 4 * 4),
+    )(*args)
+    dphases = tuple(outs[:4])
+    dtaps = list(outs[4 : 4 + n_sets])
+    gsums = [o.reshape(-1) for o in outs[4 + n_sets : 4 + 2 * n_sets]]
+    if act is not None:
+        dmul = outs[4 + 2 * n_sets].reshape(cin)
+        dadd = outs[5 + 2 * n_sets].reshape(cin)
+    else:
+        dmul = dadd = None
+    return dphases, dtaps, gsums, dmul, dadd
+
+
+def _merged_bwd_enabled() -> bool:
+    """The merged backward kernels are interpret-verified but crashed the
+    tunneled v5e on first hardware execution (INTERNAL at step 1); they stay
+    opt-in via GENICONET_MERGED_BWD=1 until root-caused on real Mosaic."""
+    import os
+
+    return os.environ.get("GENICONET_MERGED_BWD", "0") == "1"
+
+
+def _bwd_vmem_ok(h, w, cin, couts, n_out):
+    """Merged-backward working set: padded f32 buffers + g/y blocks +
+    per-tap temporaries — ~26 equivalent fp32 planes of the widest channel."""
+    if not _merged_bwd_enabled():
+        return False
+    c = max([cin] + [sum(couts)])
+    return 26 * 5 * h * w * c * 4 < 90 * 1024 * 1024
+
+
 def _up_fwd_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype, with_stats):
     """Upsample + conv forward: refs = x (std level-s layout),
     n_sets×(taps, bias), then n_sets×4 phase outputs and [n_sets (2, C_out)
@@ -506,6 +698,64 @@ def _up_fwd_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype, with_stats):
                 stat_outs[si][...] = jnp.zeros_like(stat_outs[si])
 
             stat_outs[si][...] += part
+
+
+def _up_bwd_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype, with_stats):
+    """Merged upsample+conv backward: dx + dtaps + per-set Σg_eff in ONE
+    kernel, sharing the g read, the stats fold, and the padded upsampled
+    phases. refs (inputs): x, n_sets×4 g, [n_sets×4 y, n_sets gs], n_sets
+    taps; (outputs): dx, n_sets dtaps, n_sets gsum."""
+    x_ref = refs[0]
+    idx = 1
+    g_refs_flat = refs[idx : idx + n_sets * 4]
+    idx += n_sets * 4
+    if with_stats:
+        y_refs_flat = refs[idx : idx + n_sets * 4]
+        gs_refs = refs[idx + n_sets * 4 : idx + n_sets * 4 + n_sets]
+        idx += n_sets * 4 + n_sets
+    w_refs = refs[idx : idx + n_sets]
+    idx += n_sets
+    o_ref = refs[idx]
+    dt_refs = refs[idx + 1 : idx + 1 + n_sets]
+    gsum_refs = refs[idx + 1 + n_sets : idx + 1 + 2 * n_sets]
+    first = pl.program_id(0) == 0
+    cin = w_refs[0].shape[1]
+
+    g_groups = []
+    for si in range(n_sets):
+        g_set = g_refs_flat[si * 4 : (si + 1) * 4]
+        if with_stats:
+            g_set = _geff_fold(
+                g_set, y_refs_flat[si * 4 : (si + 1) * 4], gs_refs[si], out_dtype
+            )
+        else:
+            g_set = [g[...] for g in g_set]
+        g_set = [g.reshape(k * 5, h, w, g.shape[-1]) for g in g_set]
+        g_groups.append(g_set)
+
+    for si, g_set in enumerate(g_groups):
+        part = sum(
+            jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)) for g in g_set
+        ).reshape(1, -1)
+
+        @pl.when(first)
+        def _(si=si):
+            gsum_refs[si][...] = jnp.zeros_like(gsum_refs[si])
+
+        gsum_refs[si][...] += part
+
+    dpad = _dpad_accumulate(g_groups, w_refs, _ALL, h, w, k, cin)
+    dphases = _phase_pad_transpose(dpad, k, h, w, corner_mode)
+    dP = _upsample_transpose(dphases, h, w)
+    dx = _pad_transpose(dP, h=h, w=w, corner_mode=corner_mode, k=k)
+    o_ref[...] = dx.reshape(k, 5, h, w, cin).astype(out_dtype)
+
+    P = jnp.concatenate(
+        [_build_padded(x_ref[i], h, w, corner_mode) for i in range(k)], axis=0
+    )
+    phases = _upsample_phases(P, h, w)
+    padded = _phase_pad_k(phases, k, h, w, corner_mode)
+    _dtaps_accumulate(padded, g_groups, dt_refs, _ALL, h, w, k, first)
 
 
 def _up_dx_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype):
@@ -759,8 +1009,17 @@ def _pcs1_fwd(phases, taps, bias, act_mul, act_add, corner_mode, with_stats):
 def _pcs1_bwd(corner_mode, with_stats, res, g):
     phases, taps, bias, act_mul, act_add, out = res
     g_out, g_st = g
-    g_out = _stats_geff(g_out, out, g_st if with_stats else None)
     act = _mk_act(act_mul, act_add)
+    h, w = phases[0].shape[2], phases[0].shape[3]
+    if _bwd_vmem_ok(h, w, phases[0].shape[-1], [taps.shape[-1]], 4):
+        dphases, (dtaps,), (gsum,), dmul, dadd = _phase_conv_bwd(
+            phases, [g_out], [out] if with_stats else None,
+            [g_st] if with_stats else None, [(taps, bias)], corner_mode,
+            _ALL, act, with_stats, phases[0].dtype,
+        )
+        db = None if bias is None else gsum.astype(bias.dtype)
+        return dphases, dtaps.astype(taps.dtype), db, dmul, dadd
+    g_out = _stats_geff(g_out, out, g_st if with_stats else None)
     dphases, dmul, dadd = _phase_conv_dx(
         [g_out], [(taps, bias)], corner_mode, _ALL,
         phases[0].shape[-1], phases[0].dtype, act=act, raw_phases=phases,
@@ -811,10 +1070,24 @@ def _ds2_fwd(phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
 def _ds2_bwd(corner_mode, with_stats, res, g):
     phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add, ys = res
     ga, gb, gsa, gsb = g
+    act = _mk_act(act_mul, act_add)
+    h, w = phases[0].shape[2], phases[0].shape[3]
+    couts = [taps_a.shape[-1], taps_b.shape[-1]]
+    if _bwd_vmem_ok(h, w, phases[0].shape[-1], couts, 1):
+        dphases, (dta, dtb), (gsa_, gsb_), dmul, dadd = _phase_conv_bwd(
+            phases, [(ga,), (gb,)],
+            [(ys[0],), (ys[1],)] if with_stats else None,
+            [gsa, gsb] if with_stats else None,
+            [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, (2,),
+            act, with_stats, phases[0].dtype,
+        )
+        dba = None if bias_a is None else gsa_.astype(bias_a.dtype)
+        dbb = None if bias_b is None else gsb_.astype(bias_b.dtype)
+        return (dphases, dta.astype(taps_a.dtype), dba,
+                dtb.astype(taps_b.dtype), dbb, dmul, dadd)
     if with_stats:
         (ga,) = _stats_geff((ga,), (ys[0],), gsa)
         (gb,) = _stats_geff((gb,), (ys[1],), gsb)
-    act = _mk_act(act_mul, act_add)
     dphases, dmul, dadd = _phase_conv_dx(
         [(ga,), (gb,)], [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, (2,),
         phases[0].shape[-1], phases[0].dtype, act=act, raw_phases=phases,
@@ -910,14 +1183,57 @@ def _upd_fwd(x, taps_a, bias_a, taps_b, bias_b, corner_mode, with_stats):
 def _upd_bwd(corner_mode, with_stats, res, g):
     x, taps_a, bias_a, taps_b, bias_b, ys = res
     ga, gb, gsa, gsb = g
-    if with_stats:
-        ga = _stats_geff(ga, ys[0], gsa)
-        gb = _stats_geff(gb, ys[1], gsb)
     B = x.shape[0]
     h, w = x.shape[2], x.shape[3]
     cin = x.shape[-1]
     dtype = x.dtype
     couts = [taps_a.shape[-1], taps_b.shape[-1]]
+    if _bwd_vmem_ok(h, w, cin, couts, 4):
+        per_sample = 5 * h * w * (16 * cin + 6 * sum(couts)) * 4
+        k = _choose_k(B, per_sample, 5 * h * w)
+        kernel = functools.partial(
+            _up_bwd_kernel, h=h, w=w, k=k, corner_mode=corner_mode, n_sets=2,
+            out_dtype=dtype, with_stats=with_stats,
+        )
+        in_specs = [_block((k, 5, h, w, cin))]
+        args = [x]
+        in_specs += [_block((k, 5, h, w, couts[0]))] * 4
+        in_specs += [_block((k, 5, h, w, couts[1]))] * 4
+        args += list(ga) + list(gb)
+        if with_stats:
+            in_specs += [_block((k, 5, h, w, couts[0]))] * 4
+            in_specs += [_block((k, 5, h, w, couts[1]))] * 4
+            args += list(ys[0]) + list(ys[1])
+            for gs, cout in zip((gsa, gsb), couts):
+                in_specs.append(_acc_spec((2, cout)))
+                args.append(gs)
+        in_specs += [_full(), _full()]
+        args += [taps_a, taps_b]
+        out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, cin), dtype)]
+        out_specs = [_block((k, 5, h, w, cin))]
+        for cout in couts:
+            out_shape.append(jax.ShapeDtypeStruct((7, cin, cout), jnp.float32))
+            out_specs.append(_acc_spec((7, cin, cout)))
+        for cout in couts:
+            out_shape.append(jax.ShapeDtypeStruct((1, cout), jnp.float32))
+            out_specs.append(_acc_spec((1, cout)))
+        flops = 2 * B * 5 * h * w * 4 * 7 * cin * sum(couts) * 2
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B // k,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            **_params(flops, B * 5 * h * w * cin * 4 * 5),
+        )(*args)
+        dx, dta, dtb, gsa_, gsb_ = outs
+        dba = None if bias_a is None else gsa_.reshape(-1).astype(bias_a.dtype)
+        dbb = None if bias_b is None else gsb_.reshape(-1).astype(bias_b.dtype)
+        return (dx, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype),
+                dbb)
+    if with_stats:
+        ga = _stats_geff(ga, ys[0], gsa)
+        gb = _stats_geff(gb, ys[1], gsb)
     per_sample = 5 * h * w * (16 * cin + 4 * sum(couts)) * 4
     k = _choose_k(B, per_sample, 5 * h * w)
 

@@ -25,6 +25,14 @@ def _interpret_mode():
     cm.__exit__(None, None, None)
 
 
+@pytest.fixture(autouse=True, params=["0", "1"])
+def _merged_bwd(request, monkeypatch):
+    # cover BOTH backward routes: separate dx/dtaps kernels with the XLA
+    # stats fold ("0", the hardware default) and the merged single-kernel
+    # backward ("1", opt-in until root-caused on real Mosaic)
+    monkeypatch.setenv("GENICONET_MERGED_BWD", request.param)
+
+
 def _mk(s, B, cin, cout, seed=0):
     rng = np.random.RandomState(seed)
     H, W = ico.grid_shape(s)
