@@ -42,10 +42,19 @@ def run_trace(out_dir, steps):
     return dt
 
 
+import re as _re
+
+
 def categorize(name: str) -> str:
     n = name.lower()
     if "custom-call" in n or "tpu_custom_call" in n or "mosaic" in n:
         return "pallas kernels"
+    # device ops named by their module scope (up0.3, down1.5, conv_in.2,
+    # conv01.9, ...) are the Pallas custom calls in this codebase
+    if _re.match(r"(up|down)\d+\.\d+$", n) or _re.match(r"conv(_in|\d+)\.\d+$", n):
+        return "pallas kernels"
+    if "convert_reduce" in n:
+        return "BN stats (convert_reduce)"
     if n.startswith("copy") or ".copy" in n or "copy-start" in n or "copy-done" in n:
         return "layout copies"
     if "convert" in n and "reduce" in n:
