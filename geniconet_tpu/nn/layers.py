@@ -139,59 +139,6 @@ class IcoConvS2S(nn.Module):
         return (y, _xla_stats(y)) if with_stats else y
 
 
-class _PhaseBN(nn.Module):
-    """nn.BatchNorm semantics over a 4-tuple of phase tensors, without
-    materializing their concatenation (which showed up as ~3 ms/step of
-    pure layout copies in the round-2 step trace). The phases partition
-    the grid into equal-size sets, so the batch moments are the average of
-    the per-phase moments — the same statistics, computed as four fused
-    reductions. Variable tree matches nn.BatchNorm exactly (float32
-    scale/bias params, batch_stats mean/var, momentum 0.9, eps 1e-5, fast
-    variance with non-negativity clip, float32 reductions, optional
-    ``axis_name`` pmean), so fused and unfused paths share checkpoints."""
-
-    use_running_average: bool
-    axis_name: Optional[str] = None
-    dtype: Any = jnp.float32
-    momentum: float = 0.9
-    epsilon: float = 1e-5
-
-    @nn.compact
-    def __call__(self, phases):
-        C = phases[0].shape[-1]
-        ra_mean = self.variable(
-            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (C,)
-        )
-        ra_var = self.variable(
-            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (C,)
-        )
-        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
-        if self.use_running_average:
-            mean, var = ra_mean.value, ra_var.value
-        else:
-            axes = tuple(range(phases[0].ndim - 1))
-            k = float(len(phases))
-            mean = sum(p.astype(jnp.float32).mean(axes) for p in phases) / k
-            mean2 = (
-                sum(jnp.square(p.astype(jnp.float32)).mean(axes) for p in phases)
-                / k
-            )
-            if self.axis_name is not None and not self.is_initializing():
-                stacked = jax.lax.pmean(jnp.stack([mean, mean2]), self.axis_name)
-                mean, mean2 = stacked[0], stacked[1]
-            var = jnp.maximum(0.0, mean2 - jnp.square(mean))
-            if not self.is_initializing():
-                ra_mean.value = (
-                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                )
-                ra_var.value = (
-                    self.momentum * ra_var.value + (1 - self.momentum) * var
-                )
-        mul = jax.lax.rsqrt(var + self.epsilon) * scale
-        return tuple(((p - mean) * mul + bias).astype(self.dtype) for p in phases)
-
-
 class _StatsBN(nn.Module):
     """BatchNorm affine provider driven by kernel-emitted sufficient
     statistics: input is ``{"stats": (2, C) fp32 [sum, sumsq] | None,
@@ -246,10 +193,10 @@ class IcoBatchNorm(nn.Module):
 
     ``axis_name`` enables cross-replica moment reduction under shard_map/pmap
     so data-parallel training uses global batch statistics. Accepts a
-    standard ``(B, 5, h, w, C)`` grid, a 4-tuple of phase tensors, or a
-    ``{"stats", "count", "features"}`` dict of kernel-emitted moment sums
-    (returning the ``(mul, add)`` affine instead of applying) — all three
-    share the same variable tree and statistics.
+    standard ``(B, 5, h, w, C)`` grid, or a ``{"stats", "count",
+    "features"}`` dict of kernel-emitted moment sums (returning the
+    ``(mul, add)`` affine instead of applying) — both share the same
+    variable tree and statistics.
     """
 
     use_running_average: Optional[bool] = None
@@ -267,13 +214,6 @@ class IcoBatchNorm(nn.Module):
                 axis_name=self.axis_name,
                 name="BatchNorm_0",
             )(x)
-        if isinstance(x, (tuple, list)):
-            return _PhaseBN(
-                use_running_average=ura,
-                axis_name=self.axis_name,
-                dtype=self.dtype,
-                name="BatchNorm_0",
-            )(tuple(x))
         B, n, h, w, C = x.shape
         flat = x.reshape(B, n * h, w, C)
         out = nn.BatchNorm(

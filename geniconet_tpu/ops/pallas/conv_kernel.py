@@ -147,6 +147,16 @@ def _act_apply(x, mul, add):
     return jnp.maximum(pre, 0.0).astype(x.dtype)
 
 
+def _geff_one(g, y, gs0, gs1, dtype):
+    """The stats-cotangent fold: d/dy of gs·(Σy, Σy²) added to the direct
+    cotangent — g_eff = g + gs0 + 2·y·gs1, downcast to the activation dtype.
+    The ONE definition shared by every kernel family's backward (in-kernel
+    and XLA-side), so the fused/XLA numerics can never diverge."""
+    return (
+        g.astype(jnp.float32) + gs0 + 2.0 * y.astype(jnp.float32) * gs1
+    ).astype(dtype)
+
+
 def _kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act, with_stats):
     # refs: x, [mul, add], taps, bias -> out, [stats (2, cout)]
     x_ref = refs[0]
@@ -340,6 +350,42 @@ def _pad_transpose(dP, *, h, w, corner_mode, k):
     return dx
 
 
+def _conv_transpose_dP(gm, w_ref, h, w, stride, k, cin):
+    """dP = Σ_t place(g·W_tᵀ at slice_t) — the conv transpose scattered into
+    the padded array, fp32. stride-2 scatters via parity interleave (Mosaic
+    has no value-level dynamic scatter). Shared by the split dx kernel and
+    the merged backward."""
+    n = k * 5
+    ho, wo = h // stride, w // stride
+    dP = jnp.zeros((n, h + 2, w + 2, cin), jnp.float32)
+    for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
+        contrib = jax.lax.dot_general(
+            gm, w_ref[t].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(n, ho, wo, cin)
+        if stride == 1:
+            dP += jnp.pad(
+                contrib, ((0, 0), (1 + di, 1 - di), (1 + dj, 1 - dj), (0, 0))
+            )
+        else:
+            a0, b0 = 2 + di, 1 + dj
+            ra, pa = a0 // 2, a0 % 2
+            cb, pb = b0 // 2, b0 % 2
+            z = jnp.zeros_like(contrib)
+            cols = jnp.stack([contrib, z] if pb == 0 else [z, contrib], axis=3)
+            cols = cols.reshape(n, ho, wo * 2, cin)
+            rows = jnp.stack([cols, jnp.zeros_like(cols)] if pa == 0
+                             else [jnp.zeros_like(cols), cols], axis=2)
+            rows = rows.reshape(n, ho * 2, wo * 2, cin)
+            dP += jnp.pad(
+                rows,
+                ((0, 0), (2 * ra, (h + 2) - 2 * ra - ho * 2),
+                 (2 * cb, (w + 2) - 2 * cb - wo * 2), (0, 0)),
+            )
+    return dP
+
+
 def _dx_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act):
     """dx = padᵀ(convᵀ(g)): build dP = Σ_t slice_t ← g·W_tᵀ, then accumulate
     every pad-source position back via `_pad_transpose`. refs: g, taps,
@@ -355,39 +401,8 @@ def _dx_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act):
     cin = w_ref.shape[1]
     ho, wo = h // stride, w // stride
     gm = g_ref[...].reshape(k * 5 * ho * wo, cout).astype(jnp.float32)
-
-    # dP = Σ_t place(g·W_tᵀ at slice_t); static jnp.pad placement — Mosaic
-    # has no dynamic_slice/scatter lowering at value level
     n = k * 5
-    dP = jnp.zeros((n, h + 2, w + 2, cin), jnp.float32)
-    for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
-        contrib = jax.lax.dot_general(
-            gm, w_ref[t].astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(n, ho, wo, cin)
-        if stride == 1:
-            dP += jnp.pad(
-                contrib,
-                ((0, 0), (1 + di, 1 - di), (1 + dj, 1 - dj), (0, 0)),
-            )
-        else:
-            # scatter to strided positions a0+2m, b0+2m via parity interleave
-            a0, b0 = 2 + di, 1 + dj
-            ra, pa = a0 // 2, a0 % 2
-            cb, pb = b0 // 2, b0 % 2
-            z = jnp.zeros_like(contrib)
-            cols = jnp.stack([contrib, z] if pb == 0 else [z, contrib], axis=3)
-            cols = cols.reshape(n, ho, wo * 2, cin)
-            rows = jnp.stack([cols, jnp.zeros_like(cols)] if pa == 0
-                             else [jnp.zeros_like(cols), cols], axis=2)
-            rows = rows.reshape(n, ho * 2, wo * 2, cin)
-            dP += jnp.pad(
-                rows,
-                ((0, 0), (2 * ra, (h + 2) - 2 * ra - ho * 2),
-                 (2 * cb, (w + 2) - 2 * cb - wo * 2), (0, 0)),
-            )
-
+    dP = _conv_transpose_dP(gm, w_ref, h, w, stride, k, cin)
     dx = _pad_transpose(dP, h=h, w=w, corner_mode=corner_mode, k=k)
     if not has_act:
         o_ref[...] = dx.reshape(k, 5, h, w, cin).astype(out_dtype)
@@ -434,11 +449,8 @@ def _std_bwd_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act,
 
     g = g_ref[...]
     if with_stats:
-        g = (
-            g.astype(jnp.float32)
-            + gs_ref[0].astype(jnp.float32)
-            + 2.0 * y_ref[...].astype(jnp.float32) * gs_ref[1].astype(jnp.float32)
-        ).astype(out_dtype)
+        g = _geff_one(g, y_ref[...], gs_ref[0].astype(jnp.float32),
+                      gs_ref[1].astype(jnp.float32), out_dtype)
 
     @pl.when(first)
     def _():
@@ -450,32 +462,7 @@ def _std_bwd_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act,
     # dx = padT(convT(g_eff))
     gm = g.reshape(rows, cout).astype(jnp.float32)
     n = k * 5
-    dP = jnp.zeros((n, h + 2, w + 2, cin), jnp.float32)
-    for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
-        contrib = jax.lax.dot_general(
-            gm, w_ref[t].astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(n, ho, wo, cin)
-        if stride == 1:
-            dP += jnp.pad(
-                contrib, ((0, 0), (1 + di, 1 - di), (1 + dj, 1 - dj), (0, 0))
-            )
-        else:
-            a0, b0 = 2 + di, 1 + dj
-            ra, pa = a0 // 2, a0 % 2
-            cb, pb = b0 // 2, b0 % 2
-            z = jnp.zeros_like(contrib)
-            cols = jnp.stack([contrib, z] if pb == 0 else [z, contrib], axis=3)
-            cols = cols.reshape(n, ho, wo * 2, cin)
-            rws = jnp.stack([cols, jnp.zeros_like(cols)] if pa == 0
-                            else [jnp.zeros_like(cols), cols], axis=2)
-            rws = rws.reshape(n, ho * 2, wo * 2, cin)
-            dP += jnp.pad(
-                rws,
-                ((0, 0), (2 * ra, (h + 2) - 2 * ra - ho * 2),
-                 (2 * cb, (w + 2) - 2 * cb - wo * 2), (0, 0)),
-            )
+    dP = _conv_transpose_dP(gm, w_ref, h, w, stride, k, cin)
     dx = _pad_transpose(dP, h=h, w=w, corner_mode=corner_mode, k=k)
     xv = x_ref[...]
     if has_act:
@@ -690,11 +677,8 @@ def _bwd(subdivisions, corner_mode, stride, with_stats, res, g):
         dbias = None if bias is None else gsum.astype(bias.dtype)
         return dx, dtaps.astype(x.dtype), dbias, dmul, dadd
     if with_stats:
-        gy = (
-            gy.astype(jnp.float32)
-            + gst[0].astype(jnp.float32)
-            + 2.0 * y.astype(jnp.float32) * gst[1].astype(jnp.float32)
-        ).astype(gy.dtype)
+        gy = _geff_one(gy, y, gst[0].astype(jnp.float32),
+                       gst[1].astype(jnp.float32), gy.dtype)
     dx, dmul, dadd = _pallas_dx(gy, taps, subdivisions, corner_mode, x.dtype,
                                 stride, act=act, x=x)
     dtaps = _pallas_dtaps(x, gy, subdivisions, corner_mode, stride, act=act)

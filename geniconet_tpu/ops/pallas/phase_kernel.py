@@ -51,7 +51,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from geniconet_tpu.ops.pallas.conv_kernel import _build_padded, _pad_transpose
+from geniconet_tpu.ops.pallas.conv_kernel import (
+    _act_apply,
+    _build_padded,
+    _geff_one,
+    _pad_transpose,
+)
 from geniconet_tpu.ops.phase import tap_table
 
 __all__ = [
@@ -238,14 +243,6 @@ def _upsample_transpose(dphases, h, w):
     dP += place(half * d_oq, 1, 2)
     dP += place(half * d_eq, 0, 2)
     return dP
-
-
-def _act_apply(x, mul, add):
-    """BN-apply + ReLU prologue: relu(x·mul + add), fp32 math, input dtype
-    out (relu commutes with round-to-bf16, so this matches the XLA order
-    apply→downcast→relu exactly)."""
-    pre = x.astype(jnp.float32) * mul + add
-    return jnp.maximum(pre, 0.0).astype(x.dtype)
 
 
 def _stats_partial(arrs):
@@ -479,15 +476,14 @@ def _pc_dtaps_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, has_act):
 
 
 def _geff_fold(g_refs, y_refs, gs_ref, dtype):
-    """In-VMEM stats-cotangent fold: g_eff = g + gs[0] + 2·y·gs[1], downcast
-    to the activation dtype (bit-matching the former XLA-side fold)."""
+    """In-VMEM stats-cotangent fold over a phase group (`_geff_one` per
+    phase; bit-matching the XLA-side fold in `_stats_geff`)."""
     if gs_ref is None:
         return [g[...] for g in g_refs]
     gs0 = gs_ref[0].astype(jnp.float32)
     gs1 = gs_ref[1].astype(jnp.float32)
     return [
-        (g[...].astype(jnp.float32) + gs0 + 2.0 * y[...].astype(jnp.float32) * gs1)
-        .astype(dtype)
+        _geff_one(g[...], y[...], gs0, gs1, dtype)
         for g, y in zip(g_refs, y_refs)
     ]
 
@@ -662,12 +658,13 @@ def _merged_bwd_enabled() -> bool:
 
 
 def _bwd_vmem_ok(h, w, cin, couts, n_out):
-    """Merged-backward working set: padded f32 buffers + g/y blocks +
-    per-tap temporaries — ~26 equivalent fp32 planes of the widest channel."""
+    """Merged-backward working set: ~14 fp32 planes of C_in (padded dpad
+    buffers, pad-transpose temporaries, dphase outputs) plus per-output-
+    phase g/y/slice blocks in ΣC_out (~3 planes each)."""
     if not _merged_bwd_enabled():
         return False
-    c = max([cin] + [sum(couts)])
-    return 26 * 5 * h * w * c * 4 < 90 * 1024 * 1024
+    est = 5 * h * w * 4 * (14 * cin + 3 * n_out * sum(couts))
+    return est < 90 * 1024 * 1024
 
 
 def _up_fwd_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype, with_stats):
@@ -969,18 +966,15 @@ def _dbias(g_group):
 
 
 def _stats_geff(g_group, y_group, g_st):
-    """Fold a stats output's cotangent into the activation cotangents:
-    d/dy of gs·(Σy, Σy²) = gs[0] + 2·y·gs[1]. One XLA elementwise pass that
-    fuses with the surrounding bwd ops; zero-cotangent stats cost nothing
-    after DCE."""
+    """XLA-side stats-cotangent fold over a phase group (`_geff_one` per
+    phase). One elementwise pass that fuses with the surrounding bwd ops;
+    zero-cotangent stats cost nothing after DCE."""
     if g_st is None:
         return tuple(g_group)
     gs0 = g_st[0].astype(jnp.float32)
     gs1 = g_st[1].astype(jnp.float32)
     return tuple(
-        (g.astype(jnp.float32) + gs0 + 2.0 * y.astype(jnp.float32) * gs1)
-        .astype(g.dtype)
-        for g, y in zip(g_group, y_group)
+        _geff_one(g, y, gs0, gs1, g.dtype) for g, y in zip(g_group, y_group)
     )
 
 

@@ -197,6 +197,26 @@ def test_standard_conv_act_stats_value_and_grad():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
 
 
+def test_standard_conv_bias_none():
+    """'bias may be None' contract on the fused standard conv (fwd + vjp)."""
+    s, B, cin, cout = 3, 4, 8, 12
+    x, taps, _, _, _ = _mk(s, B, cin, cout, seed=5)
+    y = ck.fused_ico_conv_s2s(x, taps, None, s, "average", 1)
+    yr = ico_conv_s2s(x, taps, None, s, stride=1, corner_mode="average")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-5)
+    g = jax.grad(
+        lambda x, t: jnp.sum(ck.fused_ico_conv_s2s(x, t, None, s, "average", 1) ** 2),
+        argnums=(0, 1),
+    )(x, taps)
+    gr = jax.grad(
+        lambda x, t: jnp.sum(ico_conv_s2s(x, t, None, s, stride=1,
+                                          corner_mode="average") ** 2),
+        argnums=(0, 1),
+    )(x, taps)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
 def test_no_stats_no_act_unchanged():
     """The plain paths still bit-match the pre-feature behavior."""
     s, B, cin, cout = 3, 4, 8, 12
