@@ -64,7 +64,8 @@ def main():
     t0 = time.perf_counter()
     state, metrics, _, _ = trainer._jit_train_step(state, x, y, wt, 0)
     float(jax.device_get(metrics["total"]))
-    print(f"compile+first step: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first step: {compile_s:.1f}s", file=sys.stderr)
 
     # (a) resident-batch: dispatch a pipelined window, hard-sync on the final
     # loss. Excludes host slicing/device_put — pure device step time.
@@ -100,6 +101,32 @@ def main():
         file=sys.stderr,
     )
 
+    # (c) p50 single-mesh decode latency — the app's generative path
+    # (BASELINE.json metric #2). Latency = dispatch + device + sync per call.
+    import numpy as _np
+
+    model = trainer.model
+    variables = jax.device_put(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    s = trainer.s
+    z = jnp.zeros(
+        (1, 5 * 2 ** (s - 3), 2 ** (s - 2), model.widths[-1]), jnp.float32
+    )
+
+    @jax.jit
+    def _decode(vars_, zz):
+        return model.apply(vars_, zz, train=False, method=model.decode)
+
+    jax.device_get(_decode(variables, z))  # compile
+    lat = []
+    for _ in range(100):
+        t0 = time.perf_counter()
+        jax.device_get(_decode(variables, z))
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(_np.median(lat) * 1e3)
+    print(f"p50 single-mesh decode latency: {p50_ms:.3f} ms", file=sys.stderr)
+
     vs = resident / BASELINE_MESHES_PER_SEC
     print(
         json.dumps(
@@ -110,11 +137,16 @@ def main():
                 "vs_baseline": round(vs, 3),
                 "epoch_loop_value": round(epoch_loop, 2),
                 "target_value": round(TARGET_5X, 2),
+                "p50_decode_ms": round(p50_ms, 3),
+                "compile_first_step_s": round(compile_s, 1),
                 "note": "value=resident-batch step; epoch_loop_value = full "
                         "epoch loop with the device-resident gather pipeline "
                         "(dataset lives in HBM; only batch indices cross the "
                         "host boundary); target_value = 5x round-1 fp32 "
-                        "anchor (BASELINE.md)",
+                        "anchor (BASELINE.md); p50_decode_ms = single-mesh "
+                        "decode latency incl. host sync (app generative "
+                        "path); compile_first_step_s is warm-cache when the "
+                        "persistent compile cache is seeded (environment.md)",
             }
         )
     )

@@ -107,9 +107,11 @@ def experiment_train(cfg: Config):
         else:
             print("[train] no checkpoint found to resume; starting fresh")
 
+    resident = cfg.data.device_resident_flag()
     trn = Batches(trn_ds, cfg.train.batch_size, shuffle=True, sharding=sharding,
-                  seed=cfg.train.seed)
-    val = Batches(val_ds, cfg.train.batch_size, shuffle=False, sharding=sharding)
+                  seed=cfg.train.seed, device_resident=resident)
+    val = Batches(val_ds, cfg.train.batch_size, shuffle=False, sharding=sharding,
+                  device_resident=resident)
     state, history = trainer.fit(state, trn, val, start_epoch, best_loss)
     logger.close()
     return history
@@ -149,10 +151,12 @@ def experiment_encode(cfg: Config):
 
 def _test_dataset(cfg: Config):
     s = cfg.model.subdivisions
+    instance = cfg.data_instance  # reference --data_instance (run.py:546)
     if cfg.data.synthetic:
-        return synthetic_dataset(s, cfg.data.synthetic, seed=cfg.data.synthetic_seed + 1)
+        off = 0 if instance == "trn" else 1
+        return synthetic_dataset(s, cfg.data.synthetic, seed=cfg.data.synthetic_seed + off)
     return IcoDataset.from_directory(
-        cfg.data.data_dir, s, cfg.data.layout_level, "val",
+        cfg.data.data_dir, s, cfg.data.layout_level, instance,
         cfg.data.ext, cfg.train.quick_learn,
     )
 
@@ -180,6 +184,59 @@ def experiment_decode(cfg: Config):
     return run_decode(cfg, ref)
 
 
+def experiment_sample(cfg: Config):
+    """Draw novel meshes from the checkpoint's stored (mu, logvar) misc —
+    the reference's ``enc2ico_vae.createSample`` capability (models.py:329-332)
+    with its exact formula ``z = trn_mean + trn_logvar * eps`` (note: the
+    reference scales by logvar itself, not exp(0.5*logvar); kept verbatim for
+    parity). No dataset needed: the misc is the last training batch's
+    (mu, logvar) saved with every checkpoint (reference run.py:274-277,336)."""
+    from geniconet_tpu.data.offio import write_off
+    from geniconet_tpu.eval.test_driver import resolve_checkpoint
+    from geniconet_tpu.geometry import ico as ico_geom
+    from geniconet_tpu.ops.vertices import grid_to_vertices
+
+    path = resolve_checkpoint(cfg)
+    blob = ckpt.load_checkpoint(path)
+    misc = blob.get("misc")
+    if not misc or "trn_mean" not in misc:
+        raise SystemExit(
+            f"{path} carries no (mu, logvar) misc — train a VAE first "
+            "(the AE checkpoint has no latent distribution to sample)"
+        )
+    mu = np.asarray(misc["trn_mean"], np.float32)
+    logvar = np.asarray(misc["trn_logvar"], np.float32)
+    rng = np.random.RandomState(cfg.train.seed)
+    idx = rng.randint(0, mu.shape[0], size=cfg.n_samples)
+    z = mu[idx] + logvar[idx] * rng.randn(*mu[idx].shape).astype(np.float32)
+
+    s = cfg.model.subdivisions
+    H, W = ico_geom.grid_shape(s)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(np.zeros((1, H, W, 3), np.float32), seed=cfg.train.seed)
+    state, epoch, _ = trainer.restore(state, path)
+    model = trainer.model
+    variables = jax.device_put(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
+
+    @jax.jit
+    def _decode(vars_, zz):
+        recon = model.apply(vars_, zz, train=False, method=model.decode)
+        return grid_to_vertices(recon, s)
+
+    verts = np.asarray(_decode(variables, jnp.asarray(z)))
+    faces = ico_geom.get_ico_faces(s)
+    out_dir = os.path.join(
+        cfg.out_dir or os.path.join(cfg.model_log_dir(), "data"), "sample"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for k in range(verts.shape[0]):
+        write_off(os.path.join(out_dir, f"sample_{k:03d}.off"), verts[k], faces)
+    print(f"[sample] wrote {verts.shape[0]} sampled meshes (epoch {epoch}) to {out_dir}")
+    return out_dir
+
+
 def main(argv=None):
     from geniconet_tpu import enable_compilation_cache
 
@@ -191,6 +248,8 @@ def main(argv=None):
         experiment_encode(cfg)
     elif cfg.process == "decode":
         experiment_decode(cfg)
+    elif cfg.process == "sample":
+        experiment_sample(cfg)
     else:
         experiment_test(cfg)
 

@@ -45,11 +45,13 @@ def resolve_checkpoint(cfg: Config) -> str:
 
 
 def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
-    """Zero-pad axis 0 to length n (fixed batch shape -> one jit
-    specialization even for a ragged tail batch)."""
+    """Pad axis 0 to length n by repeating row 0 (fixed batch shape -> one
+    jit specialization even for a ragged tail batch). Repeating a real row —
+    not zeros — keeps the padded tail out of degenerate-geometry paths
+    (all-zero meshes are 0-area triangles in point_to_mesh_distance)."""
     if arr.shape[0] == n:
         return arr
-    pad = np.zeros((n - arr.shape[0], *arr.shape[1:]), arr.dtype)
+    pad = np.broadcast_to(arr[:1], (n - arr.shape[0], *arr.shape[1:]))
     return np.concatenate([arr, pad], axis=0)
 
 
@@ -95,6 +97,9 @@ def _batched_distances(cfg: Config, pred_v: np.ndarray, ref_v: np.ndarray,
         return np.asarray(dist_fn(jnp.asarray(pred_v), jnp.asarray(ref_v)))
     if cfg.test_mode == "point2point":
         return np.mean(np.linalg.norm(pred_v - ref_v, axis=-1), axis=-1)
+    if cfg.test_mode == "none":
+        # reference --test_mode None: inference/mesh dump without a metric
+        return np.full(pred_v.shape[0], np.nan)
     raise ValueError(f"unknown test_mode {cfg.test_mode}")
 
 
@@ -136,8 +141,14 @@ def _eval_vertex_batches(cfg: Config, infer, inputs: np.ndarray, names,
     return pairs
 
 
-def run_test(cfg: Config, dataset: IcoDataset, write_meshes: bool = True):
-    """Evaluate a trained model; returns (name, distance) pairs + stats."""
+def run_test(cfg: Config, dataset: IcoDataset, write_meshes: bool | None = None):
+    """Evaluate a trained model; returns (name, distance) pairs + stats.
+
+    write_meshes=None defers to cfg.write_output_mesh (the reference's
+    --write_output_mesh flag, run.py:567 — meshes are NOT written by
+    default there either)."""
+    if write_meshes is None:
+        write_meshes = cfg.write_output_mesh
     s = cfg.model.subdivisions
     name = cfg.model.name
     path = resolve_checkpoint(cfg)
@@ -169,6 +180,9 @@ def run_test(cfg: Config, dataset: IcoDataset, write_meshes: bool = True):
         cfg, infer, dataset.inputs, dataset.names, dataset.targets,
         out_dir if write_meshes else None,
     )
+    if cfg.test_mode == "none":
+        print(f"[test] {len(pairs)} meshes evaluated (test_mode none: no metric)")
+        return pairs, None
     stats = save_distances(
         pairs, os.path.join(cfg.model_log_dir(), f"{name}_{cfg.test_mode}")
     )

@@ -247,12 +247,14 @@ class DownBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False,
-                 in_act=None) -> jnp.ndarray:
+    def __call__(self, x, train: bool = False, in_act=None) -> jnp.ndarray:
         """``in_act=(mul, add)``: a pending BN-apply+ReLU from the producing
         layer, absorbed into the first kernels' prologue on the fused path
-        (applied in XLA on the fallback path)."""
-        from geniconet_tpu.ops.phase import phase_split
+        (applied in XLA on the fallback path). ``x`` may be a standard
+        ``(B, 5, H, W, C)`` grid or its 4-tuple of parity phases (the fused
+        encoder front hands phases straight through so the level-s tensor
+        never re-interleaves in HBM)."""
+        from geniconet_tpu.ops.phase import phase_merge, phase_split
         from geniconet_tpu.ops.pallas.phase_kernel import (
             fused_dual_s2_conv,
             phase_vmem_ok,
@@ -262,28 +264,35 @@ class DownBlock(nn.Module):
                   use_pallas=self.use_pallas)
         bn = dict(use_running_average=not train, axis_name=self.axis_name, dtype=self.dtype)
         s = self.in_subdivisions
-        xd = x.astype(self.dtype)
-        h2, w2 = x.shape[2] // 2, x.shape[3] // 2
+        phases_in = isinstance(x, (tuple, list))
+        if phases_in:
+            h2, w2, cin = x[0].shape[2], x[0].shape[3], x[0].shape[-1]
+        else:
+            h2, w2, cin = x.shape[2] // 2, x.shape[3] // 2, x.shape[-1]
         F = self.features
         if (
             self.use_pallas
             and s >= 2
-            and phase_vmem_ok(h2, w2, x.shape[-1], F, n_sets=2)
+            and phase_vmem_ok(h2, w2, cin, F, n_sets=2)
         ):
+            if phases_in:
+                xp = tuple(p.astype(self.dtype) for p in x)
+            else:
+                xp = phase_split(x.astype(self.dtype))
             t00, b00 = IcoConvS2S(F, s, stride=2, name="conv00", **kw)(
-                xd, get_params=True
+                xp[0], get_params=True
             )
             t10, b10 = IcoConvS2S(F, s, stride=2, name="conv10", **kw)(
-                xd, get_params=True
+                xp[0], get_params=True
             )
             if train:
                 y00, y10, s00, s10 = fused_dual_s2_conv(
-                    phase_split(xd), t00, b00, t10, b10, self.corner_mode,
+                    xp, t00, b00, t10, b10, self.corner_mode,
                     act=in_act, with_stats=True,
                 )
             else:
                 y00, y10 = fused_dual_s2_conv(
-                    phase_split(xd), t00, b00, t10, b10, self.corner_mode,
+                    xp, t00, b00, t10, b10, self.corner_mode,
                     act=in_act,
                 )
                 s00 = s10 = None
@@ -312,6 +321,7 @@ class DownBlock(nn.Module):
             )
             return out.astype(self.dtype)
         # XLA fallback: both stride-2 branches read the same halo — pad once
+        xd = (phase_merge(x) if phases_in else x).astype(self.dtype)
         xd = _xla_act(xd, in_act)
         src = ico_pad(xd, s, self.corner_mode)
         y00 = IcoConvS2S(F, s, stride=2, name="conv00", **kw)(src, is_padded=True)
@@ -339,9 +349,13 @@ class UpBlock(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     use_pallas: bool = False
+    # fused path: skip the XLA tail and hand (b0 phases, y10 phases, the four
+    # pending BN affines) to the caller — the decoder head kernel absorbs the
+    # two-affine add+ReLU so the 64-channel tensor never re-interleaves
+    return_phases: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False):
         from geniconet_tpu.ops.phase import phase_merge
         from geniconet_tpu.ops.pallas.phase_kernel import (
             fused_phase_conv_s1,
@@ -400,6 +414,8 @@ class UpBlock(nn.Module):
             mul10, add10 = IcoBatchNorm(name="bn10", **bn)(
                 {"stats": s10, "count": cnt, "features": F}
             )
+            if self.return_phases:
+                return b0, y10, (mul01, add01, mul10, add10)
             out = tuple(
                 jnp.maximum(
                     a.astype(jnp.float32) * mul01 + add01

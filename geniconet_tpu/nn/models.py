@@ -74,7 +74,11 @@ class _Encoder(nn.Module):
     def __call__(self, x, train: bool = False):
         import math
 
-        from geniconet_tpu.ops.pallas.phase_kernel import phase_vmem_ok
+        from geniconet_tpu.ops.pallas.phase_kernel import (
+            fused_phase_conv_s1,
+            phase_vmem_ok,
+        )
+        from geniconet_tpu.ops.phase import phase_split
 
         kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_pallas=self.use_pallas)
         bn = dict(axis_name=self.axis_name, dtype=self.dtype)
@@ -90,12 +94,21 @@ class _Encoder(nn.Module):
                               self.widths[1], n_sets=2)
         )
         if fuse_in:
+            # conv_in runs in phase form: the input's phase split costs a
+            # pass over the tiny 3-channel tensor, while the phase OUTPUTS
+            # feed down0's dual-s2 kernel directly — the 64-channel level-s
+            # tensor is never interleaved or relayouted in HBM (round-3
+            # trace: the standard-layout form paid ~0.56 ms/step in copies)
             conv_in = IcoConvS2S(w0, s, stride=1, name="conv_in", **kw)
+            t_in, b_in = conv_in(x, get_params=True)
+            xp = phase_split(x.astype(self.dtype))
             if train:
-                x, st = conv_in(x, with_stats=True)
+                x, st = fused_phase_conv_s1(
+                    xp, t_in, b_in, self.corner_mode, with_stats=True
+                )
             else:
-                x, st = conv_in(x), None
-            cnt = float(math.prod(x.shape[:-1]))
+                x, st = fused_phase_conv_s1(xp, t_in, b_in, self.corner_mode), None
+            cnt = 4.0 * math.prod(x[0].shape[:-1])
             in_act = IcoBatchNorm(use_running_average=not train, name="bn_in", **bn)(
                 {"stats": st, "count": cnt, "features": w0}
             )
@@ -113,6 +126,35 @@ class _Encoder(nn.Module):
         return x
 
 
+class _Head(nn.Module):
+    """The decoder's 1x1 conv head (reference models.py:151-155).
+
+    Param tree + init match the nn.Dense it replaces (torch-style
+    U(±1/sqrt(fan_in)) for kernel and bias, params fp32), so checkpoints
+    cross-load between the XLA apply and the fused-kernel route
+    (``get_params=True`` hands (kernel, bias) to ``fused_pair_head``)."""
+
+    features: int
+    fan_in: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x=None, get_params: bool = False):
+        bound = 1.0 / (self.fan_in**0.5)
+
+        def _uinit(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kernel = self.param("kernel", _uinit, (self.fan_in, self.features))
+        bias = self.param("bias", _uinit, (self.features,))
+        if get_params:
+            return kernel.astype(self.dtype), bias.astype(self.dtype)
+        return (
+            x.astype(self.dtype) @ kernel.astype(self.dtype)
+            + bias.astype(self.dtype)
+        )
+
+
 class _Decoder(nn.Module):
     bottleneck_subdivisions: int
     widths: tuple[int, ...]  # e.g. (256, 128, 64): outputs of each UpBlock
@@ -124,25 +166,31 @@ class _Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, z, train: bool = False):
+        from geniconet_tpu.ops.pallas.phase_kernel import fused_pair_head
+        from geniconet_tpu.ops.phase import phase_merge
+
         s = self.bottleneck_subdivisions
         x = z
+        last = len(self.widths) - 1
         for k, width in enumerate(self.widths):
             x = UpBlock(
                 width, s + k, axis_name=self.axis_name, name=f"up{k}",
                 corner_mode=self.corner_mode, dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                # the last block hands its raw phases + pending affines to
+                # the fused head epilogue (tail+head+tanh in one kernel)
+                return_phases=(self.use_pallas and k == last),
             )(x, train=train)
-        # 1x1 conv head + tanh (reference models.py:151-155); torch-style
-        # U(±1/sqrt(fan_in)) init for kernel and bias
-        bound = 1.0 / (self.widths[-1] ** 0.5)
-
-        def _uinit(key, shape, dtype=jnp.float32):
-            return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-        x = nn.Dense(
-            self.out_features, dtype=self.dtype, name="head",
-            kernel_init=_uinit, bias_init=_uinit,
-        )(x)
+        # 1x1 conv head + tanh (reference models.py:151-155)
+        head = _Head(
+            self.out_features, self.widths[-1], dtype=self.dtype, name="head"
+        )
+        if isinstance(x, tuple):  # fused route: (b0 phases, y10 phases, affines)
+            b0, y10, affines = x
+            kernel, bias = head(get_params=True)
+            outs = fused_pair_head(b0, y10, affines, kernel, bias)
+            return phase_merge(outs)
+        x = head(x)
         return jnp.tanh(x.astype(jnp.float32))
 
 

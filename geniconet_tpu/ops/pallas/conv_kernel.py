@@ -559,14 +559,18 @@ def _std_bwd(x, g, taps, y, gs, subdivisions, corner_mode, stride, act,
     return dx, dtaps, gsum, None, None
 
 
-def _std_bwd_vmem_ok(subdivisions, cin, cout):
+def _std_bwd_vmem_ok(subdivisions, cin, cout, B):
+    """Gate evaluated at the k the plumbing will choose (advisor round-2:
+    the per-sample estimate alone understates a k>1 program's footprint)."""
     from geniconet_tpu.ops.pallas.phase_kernel import _merged_bwd_enabled
 
     if not _merged_bwd_enabled():
         return False
     h, w = ico.chart_shape(subdivisions)
     c = max(cin, cout)
-    return 24 * 5 * h * w * c * 4 < 90 * 1024 * 1024
+    per_sample = 24 * 5 * h * w * c * 4
+    k = _choose_k(B, h, w, cin, cout, 4)
+    return k * per_sample < 90 * 1024 * 1024
 
 
 def _pallas_dtaps(x, g, subdivisions, corner_mode, stride=1, act=None):
@@ -669,7 +673,7 @@ def _bwd(subdivisions, corner_mode, stride, with_stats, res, g):
     x, taps, bias, act_mul, act_add, y = res
     gy, gst = g
     act = None if act_mul is None else (act_mul, act_add)
-    if _std_bwd_vmem_ok(subdivisions, x.shape[-1], gy.shape[-1]):
+    if _std_bwd_vmem_ok(subdivisions, x.shape[-1], gy.shape[-1], x.shape[0]):
         dx, dtaps, gsum, dmul, dadd = _std_bwd(
             x, gy, taps, y, gst if with_stats else None, subdivisions,
             corner_mode, stride, act, with_stats, x.dtype,

@@ -63,6 +63,7 @@ __all__ = [
     "fused_dual_s2_conv",
     "fused_up_dual_conv",
     "fused_phase_conv_s1",
+    "fused_pair_head",
     "phase_vmem_ok",
 ]
 
@@ -264,6 +265,16 @@ def _cat_taps(w_refs):
     return jnp.concatenate([w[...] for w in w_refs], axis=2)
 
 
+def _im2col_cin(cin: int) -> bool:
+    """Whether to pack the 7 taps along the contraction (K) dimension into
+    one matmul instead of 7 accumulated ones. A K=cin matmul wastes the MXU
+    when cin is tiny (the encoder input conv has cin=3), and the packed
+    7·cin still fits one 128-lane tile — measured ~3x on the cin=3 layer.
+    Large cin keeps the 7-matmul form (the lane concat costs more than the
+    larger K saves, see conv_kernel.py's im2col note)."""
+    return 7 * cin <= 128
+
+
 def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
     """Shared forward contraction: output phases stack along rows (M) and
     tap sets pack along lanes (N), so each tap is one MXU matmul. Returns
@@ -274,8 +285,8 @@ def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
     n_out = len(out_phases)
     couts = [w_ref.shape[-1] for w_ref in w_refs]
     w_cat = _cat_taps(w_refs)
-    acc = jnp.zeros((n_out * rows, sum(couts)), jnp.float32)
-    for t in range(7):
+
+    def tap_stacked(t):
         sls = [
             padded[_TABLE[p][t][0]][
                 :, _TABLE[p][t][1] : _TABLE[p][t][1] + h,
@@ -283,8 +294,20 @@ def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
             ]
             for p in out_phases
         ]
-        stacked = jnp.concatenate(sls, axis=0).reshape(n_out * rows, cin)
-        acc += jnp.dot(stacked, w_cat[t], preferred_element_type=jnp.float32)
+        return jnp.concatenate(sls, axis=0).reshape(n_out * rows, cin)
+
+    if _im2col_cin(cin):
+        # K-packed form: one (rows, 7·cin) x (7·cin, ΣC_out) matmul.
+        # (Sublane concat of tap slices — Mosaic cannot shape-cast the
+        # (7, cin, cout) taps vector directly.)
+        stacked = jnp.concatenate([tap_stacked(t) for t in range(7)], axis=1)
+        w2 = jnp.concatenate([w_cat[t] for t in range(7)], axis=0)
+        acc = jnp.dot(stacked, w2, preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((n_out * rows, sum(couts)), jnp.float32)
+        for t in range(7):
+            acc += jnp.dot(tap_stacked(t), w_cat[t],
+                           preferred_element_type=jnp.float32)
     results, off = [], 0
     for b_ref, cout in zip(b_refs, couts):
         a = acc[:, off : off + cout] + b_ref[0].astype(jnp.float32)
@@ -318,8 +341,19 @@ def _dpad_accumulate(g_groups, w_refs, out_phases, h, w, k, cin):
     g_cat = g_stacks[0] if len(g_stacks) == 1 else jnp.concatenate(g_stacks, axis=1)
     w_cat = _cat_taps(w_refs).astype(jnp.float32)
     dpad = [jnp.zeros((n, h + 1, w + 1, cin), jnp.float32) for _ in range(4)]
+    if _im2col_cin(cin):
+        # one (rows, ΣC_out) x (ΣC_out, 7·cin) matmul, then 7 lane slices
+        w2 = jnp.concatenate([w_cat[t] for t in range(7)], axis=0)
+        contrib7 = jax.lax.dot_general(
+            g_cat, w2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        per_tap = [contrib7[:, t * cin : (t + 1) * cin] for t in range(7)]
+    else:
+        per_tap = None
     for t in range(7):
-        contrib = jax.lax.dot_general(
+        contrib = per_tap[t] if per_tap is not None else jax.lax.dot_general(
             g_cat, w_cat[t],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -351,7 +385,8 @@ def _dtaps_accumulate(padded, g_groups, o_refs, out_phases, h, w, k, is_first):
     # pack sets along lanes: one (cin, Σcout) matmul per tap, split after
     g_cat = g_stacks[0] if len(g_stacks) == 1 else jnp.concatenate(g_stacks, axis=1)
     couts = [g[0].shape[-1] for g in g_groups]
-    for t in range(7):
+
+    def tap_stacked(t):
         sls = [
             padded[_TABLE[p][t][0]][
                 :, _TABLE[p][t][1] : _TABLE[p][t][1] + h,
@@ -359,11 +394,28 @@ def _dtaps_accumulate(padded, g_groups, o_refs, out_phases, h, w, k, is_first):
             ]
             for p in out_phases
         ]
-        stacked = (
+        return (
             jnp.concatenate(sls, axis=0).reshape(n_out * rows, cin).astype(jnp.float32)
         )
+
+    if _im2col_cin(cin):
+        # one (7·cin, rows) x (rows, Σcout) matmul covering all taps
+        stacked7 = jnp.concatenate([tap_stacked(t) for t in range(7)], axis=1)
+        dt_all = jax.lax.dot_general(
+            stacked7, g_cat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for t in range(7):
+            dt_cat = dt_all[t * cin : (t + 1) * cin]
+            off = 0
+            for o_ref, cout in zip(o_refs, couts):
+                o_ref[t] += dt_cat[:, off : off + cout]
+                off += cout
+        return
+    for t in range(7):
         dt_cat = jax.lax.dot_general(
-            stacked, g_cat,
+            tap_stacked(t), g_cat,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -657,14 +709,18 @@ def _merged_bwd_enabled() -> bool:
     return os.environ.get("GENICONET_MERGED_BWD", "0") == "1"
 
 
-def _bwd_vmem_ok(h, w, cin, couts, n_out):
-    """Merged-backward working set: ~14 fp32 planes of C_in (padded dpad
-    buffers, pad-transpose temporaries, dphase outputs) plus per-output-
-    phase g/y/slice blocks in ΣC_out (~3 planes each)."""
+def _bwd_vmem_ok(h, w, cin, couts, n_out, B):
+    """Merged-backward working set gate, evaluated at the k the plumbing
+    will actually choose (advisor round-2: a k>1 chosen by the 10MB/sample
+    budget multiplies the whole footprint): ~14 fp32 planes of C_in (padded
+    dpad buffers, pad-transpose temporaries, dphase outputs) plus
+    per-output-phase g/y/slice blocks in ΣC_out (~3 planes each), per
+    sample, times k."""
     if not _merged_bwd_enabled():
         return False
-    est = 5 * h * w * 4 * (14 * cin + 3 * n_out * sum(couts))
-    return est < 90 * 1024 * 1024
+    per_sample = 5 * h * w * 4 * (14 * cin + 3 * n_out * sum(couts))
+    k = _choose_k(B, per_sample, 5 * h * w)
+    return k * per_sample < 90 * 1024 * 1024
 
 
 def _up_fwd_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype, with_stats):
@@ -1005,7 +1061,8 @@ def _pcs1_bwd(corner_mode, with_stats, res, g):
     g_out, g_st = g
     act = _mk_act(act_mul, act_add)
     h, w = phases[0].shape[2], phases[0].shape[3]
-    if _bwd_vmem_ok(h, w, phases[0].shape[-1], [taps.shape[-1]], 4):
+    if _bwd_vmem_ok(h, w, phases[0].shape[-1], [taps.shape[-1]], 4,
+                    phases[0].shape[0]):
         dphases, (dtaps,), (gsum,), dmul, dadd = _phase_conv_bwd(
             phases, [g_out], [out] if with_stats else None,
             [g_st] if with_stats else None, [(taps, bias)], corner_mode,
@@ -1067,7 +1124,7 @@ def _ds2_bwd(corner_mode, with_stats, res, g):
     act = _mk_act(act_mul, act_add)
     h, w = phases[0].shape[2], phases[0].shape[3]
     couts = [taps_a.shape[-1], taps_b.shape[-1]]
-    if _bwd_vmem_ok(h, w, phases[0].shape[-1], couts, 1):
+    if _bwd_vmem_ok(h, w, phases[0].shape[-1], couts, 1, phases[0].shape[0]):
         dphases, (dta, dtb), (gsa_, gsb_), dmul, dadd = _phase_conv_bwd(
             phases, [(ga,), (gb,)],
             [(ys[0],), (ys[1],)] if with_stats else None,
@@ -1182,7 +1239,7 @@ def _upd_bwd(corner_mode, with_stats, res, g):
     cin = x.shape[-1]
     dtype = x.dtype
     couts = [taps_a.shape[-1], taps_b.shape[-1]]
-    if _bwd_vmem_ok(h, w, cin, couts, 4):
+    if _bwd_vmem_ok(h, w, cin, couts, 4, B):
         per_sample = 5 * h * w * (16 * cin + 6 * sum(couts)) * 4
         k = _choose_k(B, per_sample, 5 * h * w)
         kernel = functools.partial(
@@ -1296,3 +1353,208 @@ def fused_up_dual_conv(x, taps_a, bias_a, taps_b, bias_b,
     ya, yb, sa, sb = _upd(x, taps_a, bias_a, taps_b, bias_b, corner_mode,
                           with_stats)
     return (ya, yb, sa, sb) if with_stats else (ya, yb)
+
+
+# ----------------------------- fused_pair_head ------------------------------
+#
+# The decoder's last UpBlock tail + 1x1 head + tanh in ONE kernel, in phase
+# form. XLA previously paid, per step: the two-affine add+ReLU fused with the
+# 64-channel interleave (~0.3 ms), the head dot, the tanh, and — on backward —
+# three elementwise passes rebuilding the 8 phase cotangents plus the affine
+# grads (~1.2 ms total at bs36, round-3 trace). Here the 64-channel tensor
+# never re-interleaves in HBM: the kernel consumes the 8 raw phase tensors
+# (b0 from the block's second conv, y10 from the residual branch) plus the
+# four pending BatchNorm affines, computes
+#     t = relu(b0*mul1 + add1 + y10*mul2 + add2)       (the block tail)
+#     out = tanh(t @ W + b)                            (reference models.py:151-155)
+# and emits the four 3-channel output phases; XLA interleaves those (24x less
+# data). The backward kernel recomputes t in VMEM and emits the 8 phase
+# cotangents, the affine grads, and dW/db in one pass.
+
+
+def _phead_fwd_kernel(*refs, h, w, k, cin, F, cdtype):
+    b0 = refs[0:4]
+    y10 = refs[4:8]
+    mul1, add1, mul2, add2 = refs[8][0], refs[9][0], refs[10][0], refs[11][0]
+    Wh, bh = refs[12], refs[13]
+    outs = refs[14:18]
+    n = k * 5
+    rows = n * h * w
+    for o_ref, a_ref, b_ref in zip(outs, b0, y10):
+        a32 = a_ref[...].reshape(n, h, w, cin).astype(jnp.float32)
+        b32 = b_ref[...].reshape(n, h, w, cin).astype(jnp.float32)
+        t = jnp.maximum(a32 * mul1 + add1 + b32 * mul2 + add2, 0.0).astype(cdtype)
+        z = jnp.dot(t.reshape(rows, cin), Wh[...],
+                    preferred_element_type=jnp.float32)
+        z = z + bh[0].astype(jnp.float32)
+        # match the XLA path's Dense(dtype) downcast before the fp32 tanh
+        z = z.astype(cdtype).astype(jnp.float32)
+        o_ref[...] = jnp.tanh(z).reshape(k, 5, h, w, F)
+
+
+def _phead_bwd_kernel(*refs, h, w, k, cin, F, cdtype, out_dtype):
+    g_refs = refs[0:4]
+    b0 = refs[4:8]
+    y10 = refs[8:12]
+    mul1, add1, mul2, add2 = refs[12][0], refs[13][0], refs[14][0], refs[15][0]
+    Wh, bh = refs[16], refs[17]
+    db0 = refs[18:22]
+    dy10 = refs[22:26]
+    dW_ref, dbh_ref = refs[26], refs[27]
+    dm1_ref, da1_ref, dm2_ref, da2_ref = refs[28], refs[29], refs[30], refs[31]
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        dW_ref[...] = jnp.zeros_like(dW_ref)
+        dbh_ref[...] = jnp.zeros_like(dbh_ref)
+        dm1_ref[...] = jnp.zeros_like(dm1_ref)
+        da1_ref[...] = jnp.zeros_like(da1_ref)
+        dm2_ref[...] = jnp.zeros_like(dm2_ref)
+        da2_ref[...] = jnp.zeros_like(da2_ref)
+
+    n = k * 5
+    rows = n * h * w
+    W32 = Wh[...].astype(jnp.float32)
+    dW_p = jnp.zeros((cin, F), jnp.float32)
+    dbh_p = jnp.zeros((F,), jnp.float32)
+    dm1_p = jnp.zeros((cin,), jnp.float32)
+    da1_p = jnp.zeros((cin,), jnp.float32)
+    dm2_p = jnp.zeros((cin,), jnp.float32)
+    for g_ref, a_ref, b_ref, o_a, o_b in zip(g_refs, b0, y10, db0, dy10):
+        a32 = a_ref[...].reshape(n, h, w, cin).astype(jnp.float32)
+        b32 = b_ref[...].reshape(n, h, w, cin).astype(jnp.float32)
+        pre = a32 * mul1 + add1 + b32 * mul2 + add2
+        t = jnp.maximum(pre, 0.0).astype(cdtype)
+        tm = t.reshape(rows, cin)
+        z = jnp.dot(tm, Wh[...], preferred_element_type=jnp.float32)
+        z = (z + bh[0].astype(jnp.float32)).astype(cdtype).astype(jnp.float32)
+        out = jnp.tanh(z)
+        g = g_ref[...].reshape(rows, F).astype(jnp.float32)
+        dz = g * (1.0 - out * out)
+        dbh_p += jnp.sum(dz, axis=0)
+        dW_p += jax.lax.dot_general(
+            tm.astype(jnp.float32), dz,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dt = jax.lax.dot_general(
+            dz, W32,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(n, h, w, cin)
+        dm = dt * (pre > 0.0).astype(jnp.float32)
+        o_a[...] = (dm * mul1).reshape(k, 5, h, w, cin).astype(out_dtype)
+        o_b[...] = (dm * mul2).reshape(k, 5, h, w, cin).astype(out_dtype)
+        dm1_p += jnp.sum(dm * a32, axis=(0, 1, 2))
+        da1_p += jnp.sum(dm, axis=(0, 1, 2))
+        dm2_p += jnp.sum(dm * b32, axis=(0, 1, 2))
+    dW_ref[...] += dW_p
+    dbh_ref[...] += dbh_p.reshape(1, F)
+    dm1_ref[...] += dm1_p.reshape(1, cin)
+    da1_ref[...] += da1_p.reshape(1, cin)
+    dm2_ref[...] += dm2_p.reshape(1, cin)
+    da2_ref[...] += da1_p.reshape(1, cin)  # Σdm is shared by both affines
+
+
+@jax.custom_vjp
+def _phead(b0, y10, mul1, add1, mul2, add2, Wh, bh):
+    h, w = b0[0].shape[2], b0[0].shape[3]
+    B, cin = b0[0].shape[0], b0[0].shape[-1]
+    F = Wh.shape[-1]
+    cdtype = b0[0].dtype
+    per_sample = 5 * h * w * (12 * cin + 4 * F) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+    kernel = functools.partial(
+        _phead_fwd_kernel, h=h, w=w, k=k, cin=cin, F=F, cdtype=cdtype
+    )
+    in_specs = [_block((k, 5, h, w, cin))] * 8
+    in_specs += [_block((1, cin))] * 4
+    in_specs += [_full(), _block((1, F))]
+    args = (
+        list(b0) + list(y10)
+        + [v.reshape(1, cin).astype(jnp.float32) for v in (mul1, add1, mul2, add2)]
+        + [Wh, bh.reshape(1, F)]
+    )
+    out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, F), jnp.float32)] * 4
+    out_specs = [_block((k, 5, h, w, F))] * 4
+    flops = 2 * B * 5 * h * w * 4 * cin * F
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * cdtype.itemsize * 8),
+    )(*args)
+    return tuple(outs)
+
+
+def _phead_fwd(b0, y10, mul1, add1, mul2, add2, Wh, bh):
+    outs = _phead(b0, y10, mul1, add1, mul2, add2, Wh, bh)
+    return outs, (b0, y10, mul1, add1, mul2, add2, Wh, bh)
+
+
+def _phead_bwd(res, g):
+    b0, y10, mul1, add1, mul2, add2, Wh, bh = res
+    h, w = b0[0].shape[2], b0[0].shape[3]
+    B, cin = b0[0].shape[0], b0[0].shape[-1]
+    F = Wh.shape[-1]
+    cdtype = b0[0].dtype
+    per_sample = 5 * h * w * (16 * cin + 8 * F) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+    kernel = functools.partial(
+        _phead_bwd_kernel, h=h, w=w, k=k, cin=cin, F=F, cdtype=cdtype,
+        out_dtype=cdtype,
+    )
+    in_specs = [_block((k, 5, h, w, F))] * 4
+    in_specs += [_block((k, 5, h, w, cin))] * 8
+    in_specs += [_block((1, cin))] * 4
+    in_specs += [_full(), _block((1, F))]
+    args = (
+        list(g) + list(b0) + list(y10)
+        + [v.reshape(1, cin).astype(jnp.float32) for v in (mul1, add1, mul2, add2)]
+        + [Wh, bh.reshape(1, F)]
+    )
+    out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, cin), cdtype)] * 8
+    out_specs = [_block((k, 5, h, w, cin))] * 8
+    out_shape += [
+        jax.ShapeDtypeStruct((cin, F), jnp.float32),
+        jax.ShapeDtypeStruct((1, F), jnp.float32),
+    ]
+    out_specs += [_acc_spec((cin, F)), _acc_spec((1, F))]
+    out_shape += [jax.ShapeDtypeStruct((1, cin), jnp.float32)] * 4
+    out_specs += [_acc_spec((1, cin))] * 4
+    flops = 2 * B * 5 * h * w * 4 * cin * F * 3
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * cdtype.itemsize * 16),
+    )(*args)
+    db0 = tuple(outs[0:4])
+    dy10 = tuple(outs[4:8])
+    dW = outs[8].astype(Wh.dtype)
+    dbh = outs[9].reshape(F).astype(bh.dtype)
+    dm1 = outs[10].reshape(cin)
+    da1 = outs[11].reshape(cin)
+    dm2 = outs[12].reshape(cin)
+    da2 = outs[13].reshape(cin)
+    return db0, dy10, dm1, da1, dm2, da2, dW, dbh
+
+
+_phead.defvjp(_phead_fwd, _phead_bwd)
+
+
+def fused_pair_head(b0, y10, affines, Wh, bh):
+    """Last-UpBlock tail + 1x1 head + tanh, fused (see section comment).
+
+    b0, y10: 4-tuples of (B, 5, h, w, C) phase tensors; affines:
+    (mul1, add1, mul2, add2) fp32 (C,) — the pending bn01/bn10 applies;
+    Wh (C, F), bh (F,). Returns the 4 output phases (B, 5, h, w, F) fp32
+    with tanh applied — interleave with phase_merge.
+    """
+    mul1, add1, mul2, add2 = affines
+    return _phead(tuple(b0), tuple(y10), mul1, add1, mul2, add2, Wh, bh)

@@ -67,6 +67,12 @@ class DataConfig:
     ext: str = ".npz"
     synthetic: int = 0  # >0: use a synthetic dataset of this size (no files)
     synthetic_seed: int = 0
+    # HBM-resident dataset mode: 'auto' (fits-budget heuristic), 'on', 'off'
+    device_resident: str = "auto"
+
+    def device_resident_flag(self):
+        """Map the tri-state knob to Batches' device_resident argument."""
+        return {"auto": None, "on": True, "off": False}[self.device_resident]
 
 
 @dataclass
@@ -86,7 +92,13 @@ class TrainConfig:
     debug_nans: bool = False
     data_parallel: bool = True  # shard batch over all local devices
     log_grad_freq: int = 1000   # per-layer grad-norm logging period (0 = off)
-    log_encoding_epoch: int = 0  # VAE mu/logvar histogram period (0 = off)
+    # encoding-logging period (0 = off): AE logs the 'enc' bottleneck
+    # histogram of a fixed 3-sample val subset; VAE logs mu/logvar/reparam
+    # of the first val sample (reference run.py:167-215, 83-96)
+    log_encoding_epoch: int = 0
+    # True: histograms (reference VAE default, run.py:665); False: channel
+    # images sampling one of six channel groups (reference run.py:203-211)
+    log_encoding_hist: bool = True
     profile_dir: str = ""       # jax.profiler trace output (epoch 1 traced)
     debug_timing: bool = False  # print per-epoch step timing (--debug)
 
@@ -98,18 +110,35 @@ class Config:
     data: DataConfig = field(default_factory=DataConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     log_dir: str = "log"
-    process: str = "train"  # 'train' | 'test' | 'encode' | 'decode'
+    process: str = "train"  # 'train' | 'test' | 'encode' | 'decode' | 'sample'
     test_epoch: str = "0"   # 0 = latest best, 'B<ep>' or int for specific
-    test_mode: str = "point2mesh"
+    test_mode: str = "point2mesh"  # 'point2mesh' | 'point2point' | 'none'
+    data_instance: str = "val"  # dataset split for test/encode (reference --data_instance)
+    write_output_mesh: bool = False  # test: dump reconstructed .off (reference flag)
+    n_samples: int = 8      # sample process: meshes drawn from checkpoint misc
     out_dir: str = ""
     enc_dir: str = ""       # decode process: directory of latent .npz files
+    # optional per-term loss-factor overrides (None -> per-model defaults,
+    # reference run.py:689-696)
+    f_pos: Optional[float] = None
+    f_nor: Optional[float] = None
+    f_lap: Optional[float] = None
+    f_kl: Optional[float] = None
 
     @property
     def loss_factors(self):
         from geniconet_tpu.losses.p2p import LossFactors
 
         # reference run.py:689-696
-        return LossFactors.vae() if self.model.is_vae else LossFactors.ae()
+        base = LossFactors.vae() if self.model.is_vae else LossFactors.ae()
+        if (self.f_pos, self.f_nor, self.f_lap, self.f_kl) == (None,) * 4:
+            return base
+        return LossFactors(
+            pos=base.pos if self.f_pos is None else self.f_pos,
+            nor=base.nor if self.f_nor is None else self.f_nor,
+            lap=base.lap if self.f_lap is None else self.f_lap,
+            kl=base.kl if self.f_kl is None else self.f_kl,
+        )
 
     def model_log_dir(self) -> str:
         sub = "vae" if self.model.is_vae else "ae"
@@ -137,6 +166,10 @@ def apply_model_presets(cfg: Config):
         cfg.train.save_epoch_freq = 100
         cfg.train.log_freq = 10
         cfg.train.log_mesh_epoch = 50
+        # reference AE default: encoding logging off (run.py:643); the AE
+        # 'enc' bottleneck capability (run.py:177-178) enables via
+        # --log_encoding_epoch
+        cfg.train.log_encoding_epoch = 0
     return cfg
 
 
@@ -144,8 +177,38 @@ def parse_args(argv=None) -> Config:
     """CLI mirroring reference run.py:538-587."""
     p = argparse.ArgumentParser(description="GenIcoNet-TPU experiment runner")
     p.add_argument("--model", choices=["ico2ico", "ico2ico_vae"], required=True)
-    p.add_argument("--process", choices=["train", "test", "encode", "decode"],
+    p.add_argument("--process",
+                   choices=["train", "test", "encode", "decode", "sample"],
                    required=True)
+    p.add_argument("--data_instance", choices=["trn", "val"], default="val",
+                   help="dataset split for test/encode (reference run.py:546)")
+    p.add_argument("--test_mode", choices=["point2mesh", "point2point", "none"],
+                   default=None,
+                   help="test metric; 'none' skips distances (reference run.py:565)")
+    p.add_argument("--write_output_mesh", action="store_true",
+                   help="test: write reconstructed .off meshes (reference run.py:567)")
+    p.add_argument("--corner_mode", choices=["average", "zeros"], default=None,
+                   help="pole-corner synthesis mode (reference run.py:683)")
+    p.add_argument("--n_samples", type=int, default=8,
+                   help="sample process: meshes drawn from the checkpoint's misc")
+    p.add_argument("--log_encoding_epoch", type=int, default=None,
+                   help="encoding-logging period (reference run.py:643,664)")
+    p.add_argument("--log_encoding_images", action="store_true",
+                   help="log channel images instead of histograms "
+                        "(reference run.py:203-211)")
+    p.add_argument("--deviceResident", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="keep the packed dataset HBM-resident (auto = fits-budget)")
+    # optimizer block (reference run.py:632-671: Adam + per-batch CyclicLR)
+    p.add_argument("--lr_base", type=float, default=None)
+    p.add_argument("--lr_max", type=float, default=None)
+    p.add_argument("--step_size_up", type=int, default=None)
+    p.add_argument("--step_size_down", type=int, default=None)
+    # loss-factor block (reference run.py:689-696)
+    p.add_argument("--f_pos", type=float, default=None)
+    p.add_argument("--f_nor", type=float, default=None)
+    p.add_argument("--f_lap", type=float, default=None)
+    p.add_argument("--f_kl", type=float, default=None)
     p.add_argument("--encDir", type=str, default="",
                    help="decode process: directory of latent .npz files "
                         "(default <outDir>/enc/val as written by --process encode)")
@@ -192,6 +255,26 @@ def parse_args(argv=None) -> Config:
         cfg.train.train_epoch = a.train_epoch
     if a.test_epoch is not None:
         cfg.test_epoch = a.test_epoch
+    if a.test_mode is not None:
+        cfg.test_mode = a.test_mode
+    cfg.data_instance = a.data_instance
+    cfg.write_output_mesh = a.write_output_mesh
+    cfg.n_samples = a.n_samples
+    cfg.data.device_resident = a.deviceResident
+    if a.log_encoding_epoch is not None:
+        cfg.train.log_encoding_epoch = a.log_encoding_epoch
+    if a.log_encoding_images:
+        cfg.train.log_encoding_hist = False
+    if a.corner_mode is not None:
+        cfg.model.corner_mode = a.corner_mode
+    for f in ("lr_base", "lr_max", "step_size_up", "step_size_down"):
+        v = getattr(a, f)
+        if v is not None:
+            setattr(cfg.optim, f, v)
+    for f in ("f_pos", "f_nor", "f_lap", "f_kl"):
+        v = getattr(a, f)
+        if v is not None:
+            setattr(cfg, f, v)
     if a.load_epoch is not None:
         cfg.train.load_epoch = a.load_epoch
         cfg.train.load_pretrained_model = True

@@ -43,16 +43,40 @@ class Logger:
                 self.tb.add_scalar(f"{prefix}/{k}", v, step)
 
     def histogram(self, tag: str, values: np.ndarray, step: int):
+        # summary stats always land in the JSONL stream (observable without
+        # tensorboard; also what tests assert on); full histogram goes to TB
+        v = np.asarray(values).ravel()
+        rec = {
+            "t": time.time(), "step": step, "prefix": tag,
+            "mean": float(v.mean()), "std": float(v.std()),
+            "min": float(v.min()), "max": float(v.max()),
+        }
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
         if self.tb is not None:
             self.tb.add_histogram(tag, values, step)
-        else:
-            v = np.asarray(values).ravel()
-            self.scalars(
-                tag,
-                {"mean": float(v.mean()), "std": float(v.std()),
-                 "min": float(v.min()), "max": float(v.max())},
-                step,
-            )
+
+    def images(self, tag: str, images: np.ndarray, step: int):
+        """Log an (N, H, W, 1) image stack (reference writer.add_images with
+        dataformats='NHWC', run.py:211). JSONL fallback records per-image
+        stats so the stream stays observable without tensorboard."""
+        arr = np.asarray(images, np.float32)
+        self.scalars(
+            tag + "_img",
+            {"n": float(arr.shape[0]), "mean": float(arr.mean()),
+             "std": float(arr.std())},
+            step,
+        )
+        if self.tb is not None:
+            try:
+                import torch
+
+                lo, hi = float(arr.min()), float(arr.max())
+                norm = (arr - lo) / max(hi - lo, 1e-9)
+                self.tb.add_images(tag, torch.from_numpy(norm), step,
+                                   dataformats="NHWC")
+            except Exception as e:
+                print(f"[logger] add_images failed: {e}")
 
     def meshes(self, tag: str, pred_vertices, target_vertices, subdivisions: int, step: int):
         """Log predicted meshes colored by per-vertex distance to target

@@ -48,6 +48,17 @@ class TrainState:
     rng: jax.Array      # PRNG key folded per step for VAE sampling
 
 
+def _sample_channels(v: np.ndarray, groups: int = 6) -> np.ndarray:
+    """Channels-last (B, H, W, C) -> (B·6, H, W, 1) image stack, sampling one
+    channel out of each of six groups (reference run.py:203-211: 'one out of
+    the six rotations')."""
+    C = v.shape[-1]
+    step = max(1, C // groups)
+    idx = list(range(0, C, step))[:groups]
+    imgs = v[..., idx]  # (B, H, W, 6)
+    return np.moveaxis(imgs, -1, 1).reshape(-1, v.shape[1], v.shape[2], 1)
+
+
 def build_model(cfg: Config):
     m = cfg.model
     use_pallas = m.use_pallas
@@ -108,6 +119,7 @@ class Trainer:
         )
         self._jit_eval_step = jax.jit(self._eval_step)
         self._jit_logmesh = jax.jit(self._logmesh_fwd)
+        self._jit_encode = jax.jit(self._encode_fwd)
         self.last_misc = None  # VAE: last batch's (mu, logvar), run.py:274-277
         self._host_step = 0    # host-side step mirror for logging cadence
 
@@ -202,6 +214,18 @@ class Trainer:
         )
         return metrics, jnp.sum(wt)
 
+    def _encode_fwd(self, params, batch_stats, rng, x):
+        """Bottleneck forward for encoding logging (reference run.py:167-215):
+        AE -> the 'enc' bottleneck; VAE -> (mu, logvar, reparameterized z)."""
+        variables = {"params": params, "batch_stats": batch_stats}
+        if self.is_vae:
+            mu, logvar = self.model.apply(
+                variables, x, train=False, method=self.model.encode
+            )
+            z = reparameterize(rng, mu, logvar)
+            return mu, logvar, z
+        return self.model.apply(variables, x, train=False, method=self.model.encode)
+
     def _logmesh_fwd(self, params, batch_stats, x):
         variables = {"params": params, "batch_stats": batch_stats}
         if self.is_vae:
@@ -292,16 +316,11 @@ class Trainer:
                 self._log_meshes(state, val, epoch)
             if (
                 self.logger is not None
-                and self.is_vae
                 and cfg.train.log_encoding_epoch
                 and epoch % cfg.train.log_encoding_epoch == 0
-                and self.last_misc is not None
+                and epoch > 0  # reference skips epoch 0 (run.py:193-194)
             ):
-                # encoding stats (reference log_encoding, run.py:167-215)
-                mu, logvar = jax.device_get(self.last_misc)
-                gstep = int(jax.device_get(state.step))
-                self.logger.histogram("encoding/mu", np.asarray(mu), gstep)
-                self.logger.histogram("encoding/logvar", np.asarray(logvar), gstep)
+                self._log_encoding(state, val, epoch)
             if cfg.train.profile_dir and epoch == start_epoch + 1:
                 jax.profiler.start_trace(cfg.train.profile_dir)
             state, info = self.train_epoch(state, trn, epoch)
@@ -376,6 +395,45 @@ class Trainer:
         return mesh_lib.replicate(new, self.mesh), int(blob["epoch"]), best
 
     # ------------------------------------------------------------------
+
+    def _log_encoding(self, state, val: Batches, epoch: int, k: int = 3):
+        """Encoding logging over a FIXED val subset (reference run.py:167-215;
+        subset = the first 3 val samples, load_log_data run.py:83-96):
+        AE -> 'enc' bottleneck histogram tagged by model name; VAE -> the
+        first sample's mu/logvar/reparam. With log_encoding_hist=False, the
+        VAE logs channel images sampling one of six channel groups instead
+        (reference run.py:203-211)."""
+        try:
+            gstep = int(jax.device_get(state.step))
+            name = self.cfg.model.name
+            if self.is_vae:
+                x = jnp.asarray(val.ds.inputs[:1])  # first sample (run.py:180)
+                rng = jax.random.fold_in(state.rng, epoch)
+                outs = jax.device_get(
+                    self._jit_encode(state.params, state.batch_stats, rng, x)
+                )
+                tagged = zip(("mu", "logvar", "reparam"), outs)
+                if self.cfg.train.log_encoding_hist:
+                    for tag, v in tagged:
+                        self.logger.histogram(tag, np.asarray(v), gstep)
+                else:
+                    for tag, v in tagged:
+                        self.logger.images(tag, _sample_channels(np.asarray(v)), gstep)
+            else:
+                x = jnp.asarray(val.ds.inputs[:k])
+                rng = jax.random.fold_in(state.rng, epoch)
+                z = np.asarray(jax.device_get(
+                    self._jit_encode(state.params, state.batch_stats, rng, x)
+                ))
+                if self.cfg.train.log_encoding_hist:
+                    self.logger.histogram(name, z, gstep)
+                else:
+                    for i in range(z.shape[0]):
+                        self.logger.images(
+                            f"{name}_{i}", _sample_channels(z[i : i + 1]), gstep
+                        )
+        except Exception as e:  # logging must never kill training
+            print(f"[log_encoding] skipped: {e}")
 
     def _log_meshes(self, state, val: Batches, epoch: int, k: int = 3):
         """TB mesh logging with distance coloring (reference run.py:97-148)."""

@@ -26,6 +26,8 @@ def build():
 
 def run_trace(out_dir, steps):
     trainer, state, batches = build()
+    global _USE_PALLAS
+    _USE_PALLAS = bool(trainer.model.use_pallas)
     x, y, wt = next(iter(batches.epoch()))
     # warmup/compile
     state, metrics, _, _ = trainer._jit_train_step(state, x, y, wt, 0)
@@ -44,14 +46,20 @@ def run_trace(out_dir, steps):
 
 import re as _re
 
+_USE_PALLAS = True  # set by run_trace from the built model
 
-def categorize(name: str) -> str:
+
+def categorize(name: str, use_pallas: bool = True) -> str:
     n = name.lower()
     if "custom-call" in n or "tpu_custom_call" in n or "mosaic" in n:
         return "pallas kernels"
     # device ops named by their module scope (up0.3, down1.5, conv_in.2,
-    # conv01.9, ...) are the Pallas custom calls in this codebase
-    if _re.match(r"(up|down)\d+\.\d+$", n) or _re.match(r"conv(_in|\d+)\.\d+$", n):
+    # conv01.9, ...) are the Pallas custom calls in this codebase — but only
+    # when the Pallas route is actually on; on the XLA fallback the same
+    # scopes name plain fusions (advisor round-2 finding)
+    if use_pallas and (
+        _re.match(r"(up|down)\d+\.\d+$", n) or _re.match(r"conv(_in|\d+)\.\d+$", n)
+    ):
         return "pallas kernels"
     if "convert_reduce" in n:
         return "BN stats (convert_reduce)"
@@ -117,7 +125,7 @@ def summarize(out_dir, steps):
 
     cats = collections.Counter()
     for name, ps in per_op.items():
-        cats[categorize(name)] += ps
+        cats[categorize(name, _USE_PALLAS)] += ps
     total = sum(cats.values())
     print(f"\ndevice time: {total/1e9/steps:.3f} ms/step over {steps} steps")
     print(f"{'category':<28} {'ms/step':>9}  {'%':>5}")
