@@ -49,8 +49,16 @@ class LossFactors:
         return LossFactors(0.6, 0.2, 0.2, 1.0)
 
 
-def _wmean(per_sample: jnp.ndarray, weights):
-    """Weighted mean over the batch axis (weights=None -> plain mean)."""
+def _wmean(per_sample: jnp.ndarray, weights, denom=None):
+    """Weighted mean over the batch axis (weights=None -> plain mean).
+
+    ``denom`` overrides the normalizer — under shard_map data parallelism
+    the caller passes the GLOBAL weight sum (psum over shards) so each
+    shard contributes local_weighted_sum / global_count and a plain psum of
+    per-shard losses/gradients reproduces the global-batch value exactly."""
+    if denom is not None:
+        w = 1.0 if weights is None else weights.astype(jnp.float32)
+        return jnp.sum(per_sample * w) / denom
     if weights is None:
         return jnp.mean(per_sample)
     w = weights.astype(jnp.float32)
@@ -63,6 +71,7 @@ def p2p_loss(
     subdivisions: int,
     factors: LossFactors,
     weights: jnp.ndarray | None = None,
+    wsum=None,
 ):
     """P2P loss on a grid prediction vs a (B, V, 9) target.
 
@@ -80,7 +89,7 @@ def p2p_loss(
     t = target.astype(jnp.float32)
     t_pos = t[..., 0:3]
 
-    l_pos = _wmean(jnp.mean((v - t_pos) ** 2, axis=(1, 2)), weights)
+    l_pos = _wmean(jnp.mean((v - t_pos) ** 2, axis=(1, 2)), weights, wsum)
     loss = factors.pos * l_pos
     metrics = {"mse": l_pos}
 
@@ -93,7 +102,7 @@ def p2p_loss(
         # NaN-free gradients at degenerate normals
         denom = safe_norm(n, keepdims=False) * safe_norm(t_nor, keepdims=False)
         cos = jnp.sum(n * t_nor, axis=-1) / denom
-        l_nor = _wmean(jnp.mean(1.0 - cos, axis=1), weights)
+        l_nor = _wmean(jnp.mean(1.0 - cos, axis=1), weights, wsum)
         loss = loss + factors.nor * l_nor
         metrics["cos"] = l_nor
     else:
@@ -102,7 +111,7 @@ def p2p_loss(
     if factors.lap != 0.0:
         t_lap = t[..., 6:9]
         lap = laplacian(v, subdivisions)
-        l_lap = _wmean(jnp.mean((lap - t_lap) ** 2, axis=(1, 2)), weights)
+        l_lap = _wmean(jnp.mean((lap - t_lap) ** 2, axis=(1, 2)), weights, wsum)
         loss = loss + factors.lap * l_lap
         metrics["lap"] = l_lap
     else:
@@ -111,12 +120,12 @@ def p2p_loss(
     return loss, metrics
 
 
-def kld_loss(mu: jnp.ndarray, logvar: jnp.ndarray, weights=None) -> jnp.ndarray:
+def kld_loss(mu: jnp.ndarray, logvar: jnp.ndarray, weights=None, wsum=None) -> jnp.ndarray:
     """mean_B(−0.5·mean_dims(1 + logvar − mu² − exp(logvar))) (losses.py:105)."""
     mu = mu.astype(jnp.float32).reshape(mu.shape[0], -1)
     logvar = logvar.astype(jnp.float32).reshape(logvar.shape[0], -1)
     per_sample = -0.5 * jnp.mean(1.0 + logvar - mu**2 - jnp.exp(logvar), axis=1)
-    return _wmean(per_sample, weights)
+    return _wmean(per_sample, weights, wsum)
 
 
 def kl_factor_at_epoch(
@@ -142,10 +151,11 @@ def p2pkld_loss(
     factors: LossFactors,
     kl_factor,
     weights=None,
+    wsum=None,
 ):
     """P2P + kl_factor·KLD (reference losses.py:137-142)."""
-    recon, metrics = p2p_loss(output_grid, target, subdivisions, factors, weights)
-    kld = kld_loss(mu, logvar, weights)
+    recon, metrics = p2p_loss(output_grid, target, subdivisions, factors, weights, wsum)
+    kld = kld_loss(mu, logvar, weights, wsum)
     loss = recon + factors.kl * kl_factor * kld
     metrics = dict(metrics)
     metrics["recon"] = recon

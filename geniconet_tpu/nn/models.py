@@ -104,7 +104,8 @@ class _Encoder(nn.Module):
             xp = phase_split(x.astype(self.dtype))
             if train:
                 x, st = fused_phase_conv_s1(
-                    xp, t_in, b_in, self.corner_mode, with_stats=True
+                    xp, t_in, b_in, self.corner_mode, with_stats=True,
+                    needs_dx=False,  # input is data — no input cotangent
                 )
             else:
                 x, st = fused_phase_conv_s1(xp, t_in, b_in, self.corner_mode), None

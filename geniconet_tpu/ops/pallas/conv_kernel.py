@@ -56,6 +56,17 @@ def fused_vmem_ok(subdivisions: int, cin: int, cout: int, itemsize: int) -> bool
     return est < 90 * 1024 * 1024
 
 
+def _interpret() -> bool:
+    """GENICONET_PALLAS_INTERPRET=1 runs every pallas_call as plain JAX ops
+    (pallas interpret mode). Unlike pltpu.force_tpu_interpret_mode — whose
+    threaded cross-device barrier simulation aborts under shard_map on many
+    virtual devices — this has no device-synchronization machinery, so it is
+    the mode multi-chip CPU tests and the driver dryrun use."""
+    import os
+
+    return os.environ.get("GENICONET_PALLAS_INTERPRET", "0") == "1"
+
+
 def _build_padded(x, h, w, corner_mode):
     """In-kernel halo construction; mirrors ops/pad.py `ico_pad` for one
     sample: x (5, h, w, C) -> (5, h+2, w+2, C)."""
@@ -255,6 +266,7 @@ def _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride=1,
             # buffering) exceeds the default 16M scoped-vmem budget
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=_interpret(),
     )(*args)
     return (outs[0], outs[1]) if with_stats else (outs[0], None)
 
@@ -552,6 +564,7 @@ def _std_bwd(x, g, taps, y, gs, subdivisions, corner_mode, stride, act,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
     )(*args)
     dx, dtaps, gsum = outs[0], outs[1], outs[2].reshape(cout)
     if act is not None:
@@ -564,7 +577,7 @@ def _std_bwd_vmem_ok(subdivisions, cin, cout, B):
     the per-sample estimate alone understates a k>1 program's footprint)."""
     from geniconet_tpu.ops.pallas.phase_kernel import _merged_bwd_enabled
 
-    if not _merged_bwd_enabled():
+    if not _merged_bwd_enabled("std"):
         return False
     h, w = ico.chart_shape(subdivisions)
     c = max(cin, cout)
@@ -606,6 +619,7 @@ def _pallas_dtaps(x, g, subdivisions, corner_mode, stride=1, act=None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((7, cin, cout), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
     )(*args)
     return out.astype(x.dtype)
 
@@ -647,6 +661,7 @@ def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype, stride=1,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
     )(*args)
     if act is not None:
         return outs[0], outs[1].reshape(cin), outs[2].reshape(cin)

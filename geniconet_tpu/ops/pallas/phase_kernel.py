@@ -55,6 +55,7 @@ from geniconet_tpu.ops.pallas.conv_kernel import (
     _act_apply,
     _build_padded,
     _geff_one,
+    _interpret,
     _pad_transpose,
 )
 from geniconet_tpu.ops.phase import tap_table
@@ -700,23 +701,33 @@ def _phase_conv_bwd(raw_phases, g_groups, y_groups, gs_list, tap_sets,
     return dphases, dtaps, gsums, dmul, dadd
 
 
-def _merged_bwd_enabled() -> bool:
+def _merged_bwd_enabled(family: str = "") -> bool:
     """The merged backward kernels are interpret-verified but crashed the
     tunneled v5e on first hardware execution (INTERNAL at step 1); they stay
-    opt-in via GENICONET_MERGED_BWD=1 until root-caused on real Mosaic."""
+    opt-in via GENICONET_MERGED_BWD until root-caused on real Mosaic.
+
+    Value: '0' (off, default), '1'/'all' (every family), or a comma list of
+    kernel families to enable — 'pcs1' (phase stride-1), 'ds2' (dual
+    stride-2), 'upd' (upsample+dual), 'std' (standard-layout conv) — for
+    hardware bisection (scripts/probe_merged_bwd.py)."""
     import os
 
-    return os.environ.get("GENICONET_MERGED_BWD", "0") == "1"
+    v = os.environ.get("GENICONET_MERGED_BWD", "0")
+    if v in ("0", ""):
+        return False
+    if v in ("1", "all"):
+        return True
+    return family in {f.strip() for f in v.split(",")}
 
 
-def _bwd_vmem_ok(h, w, cin, couts, n_out, B):
+def _bwd_vmem_ok(h, w, cin, couts, n_out, B, family):
     """Merged-backward working set gate, evaluated at the k the plumbing
     will actually choose (advisor round-2: a k>1 chosen by the 10MB/sample
     budget multiplies the whole footprint): ~14 fp32 planes of C_in (padded
     dpad buffers, pad-transpose temporaries, dphase outputs) plus
     per-output-phase g/y/slice blocks in ΣC_out (~3 planes each), per
     sample, times k."""
-    if not _merged_bwd_enabled():
+    if not _merged_bwd_enabled(family):
         return False
     per_sample = 5 * h * w * 4 * (14 * cin + 3 * n_out * sum(couts))
     k = _choose_k(B, per_sample, 5 * h * w)
@@ -862,6 +873,7 @@ def _params(flops, bytes_accessed):
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
     )
 
 
@@ -1041,8 +1053,9 @@ def _mk_act(act_mul, act_add):
 # --------------------------- fused_phase_conv_s1 ---------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _pcs1(phases, taps, bias, act_mul, act_add, corner_mode, with_stats):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _pcs1(phases, taps, bias, act_mul, act_add, corner_mode, with_stats,
+          needs_dx):
     (out,), (st,) = _phase_conv_fwd(
         phases, [(taps, bias)], corner_mode, _ALL,
         act=_mk_act(act_mul, act_add), with_stats=with_stats,
@@ -1050,19 +1063,21 @@ def _pcs1(phases, taps, bias, act_mul, act_add, corner_mode, with_stats):
     return out, st
 
 
-def _pcs1_fwd(phases, taps, bias, act_mul, act_add, corner_mode, with_stats):
-    out, st = _pcs1(phases, taps, bias, act_mul, act_add, corner_mode, with_stats)
+def _pcs1_fwd(phases, taps, bias, act_mul, act_add, corner_mode, with_stats,
+              needs_dx):
+    out, st = _pcs1(phases, taps, bias, act_mul, act_add, corner_mode,
+                    with_stats, needs_dx)
     res = (phases, taps, bias, act_mul, act_add, out if with_stats else None)
     return (out, st), res
 
 
-def _pcs1_bwd(corner_mode, with_stats, res, g):
+def _pcs1_bwd(corner_mode, with_stats, needs_dx, res, g):
     phases, taps, bias, act_mul, act_add, out = res
     g_out, g_st = g
     act = _mk_act(act_mul, act_add)
     h, w = phases[0].shape[2], phases[0].shape[3]
-    if _bwd_vmem_ok(h, w, phases[0].shape[-1], [taps.shape[-1]], 4,
-                    phases[0].shape[0]):
+    if needs_dx and _bwd_vmem_ok(h, w, phases[0].shape[-1], [taps.shape[-1]],
+                                 4, phases[0].shape[0], "pcs1"):
         dphases, (dtaps,), (gsum,), dmul, dadd = _phase_conv_bwd(
             phases, [g_out], [out] if with_stats else None,
             [g_st] if with_stats else None, [(taps, bias)], corner_mode,
@@ -1071,10 +1086,16 @@ def _pcs1_bwd(corner_mode, with_stats, res, g):
         db = None if bias is None else gsum.astype(bias.dtype)
         return dphases, dtaps.astype(taps.dtype), db, dmul, dadd
     g_out = _stats_geff(g_out, out, g_st if with_stats else None)
-    dphases, dmul, dadd = _phase_conv_dx(
-        [g_out], [(taps, bias)], corner_mode, _ALL,
-        phases[0].shape[-1], phases[0].dtype, act=act, raw_phases=phases,
-    )
+    if needs_dx:
+        dphases, dmul, dadd = _phase_conv_dx(
+            [g_out], [(taps, bias)], corner_mode, _ALL,
+            phases[0].shape[-1], phases[0].dtype, act=act, raw_phases=phases,
+        )
+    else:
+        # the input is data (encoder front): skip the whole dx kernel —
+        # XLA cannot DCE an unused pallas custom-call on its own
+        dphases = tuple(jnp.zeros_like(p) for p in phases)
+        dmul = dadd = (None if act is None else jnp.zeros_like(act[0]))
     (dtaps,) = _phase_conv_dtaps(
         phases, [g_out], [taps.shape], corner_mode, _ALL, act=act
     )
@@ -1086,13 +1107,16 @@ _pcs1.defvjp(_pcs1_fwd, _pcs1_bwd)
 
 
 def fused_phase_conv_s1(phases, taps, bias, corner_mode="average", act=None,
-                        with_stats=False):
+                        with_stats=False, needs_dx=True):
     """Stride-1 hex conv in phase form: 4 phases in -> 4 phases out.
 
     act: optional (mul, add) fp32 (C_in,) — in-kernel BN-apply+ReLU prologue.
-    with_stats: also return (2, C_out) fp32 [sum, sumsq] of the output."""
+    with_stats: also return (2, C_out) fp32 [sum, sumsq] of the output.
+    needs_dx=False skips the input-cotangent kernel entirely (for convs whose
+    input is data, e.g. the encoder front)."""
     mul, add = (act if act is not None else (None, None))
-    out, st = _pcs1(tuple(phases), taps, bias, mul, add, corner_mode, with_stats)
+    out, st = _pcs1(tuple(phases), taps, bias, mul, add, corner_mode,
+                    with_stats, needs_dx)
     return (out, st) if with_stats else out
 
 
@@ -1124,7 +1148,7 @@ def _ds2_bwd(corner_mode, with_stats, res, g):
     act = _mk_act(act_mul, act_add)
     h, w = phases[0].shape[2], phases[0].shape[3]
     couts = [taps_a.shape[-1], taps_b.shape[-1]]
-    if _bwd_vmem_ok(h, w, phases[0].shape[-1], couts, 1, phases[0].shape[0]):
+    if _bwd_vmem_ok(h, w, phases[0].shape[-1], couts, 1, phases[0].shape[0], "ds2"):
         dphases, (dta, dtb), (gsa_, gsb_), dmul, dadd = _phase_conv_bwd(
             phases, [(ga,), (gb,)],
             [(ys[0],), (ys[1],)] if with_stats else None,
@@ -1239,7 +1263,7 @@ def _upd_bwd(corner_mode, with_stats, res, g):
     cin = x.shape[-1]
     dtype = x.dtype
     couts = [taps_a.shape[-1], taps_b.shape[-1]]
-    if _bwd_vmem_ok(h, w, cin, couts, 4, B):
+    if _bwd_vmem_ok(h, w, cin, couts, 4, B, "upd"):
         per_sample = 5 * h * w * (16 * cin + 6 * sum(couts)) * 4
         k = _choose_k(B, per_sample, 5 * h * w)
         kernel = functools.partial(
@@ -1457,14 +1481,37 @@ def _phead_bwd_kernel(*refs, h, w, k, cin, F, cdtype, out_dtype):
     da2_ref[...] += da1_p.reshape(1, cin)  # Σdm is shared by both affines
 
 
+def _head_k(B, h, w, cin, F, fwd):
+    """Samples per program for the head kernels. These are tiny-matmul,
+    bandwidth-bound programs — per-program overhead dominates at k=1 (36
+    programs cost ~0.5 ms at bs36) — but every buffer is LANE-PADDED to 128
+    in VMEM (the F=3 outputs 42x, the 64-ch phases 2x), so the estimate must
+    use padded channel counts (measured 18.75MB/sample at up2 shapes; a
+    k=6 program hit Mosaic's 100MB scoped-vmem stack limit)."""
+    del F  # everything pads to the 128-lane tile anyway
+    cells = 5 * h * w
+    cpad = max(cin, 128)
+    if fwd:
+        # 8 input phases bf16 + ~4 fp32 temporaries + 4 padded fp32 outs
+        per = cells * (8 * cpad * 2 + 4 * cpad * 4 + 4 * 128 * 4)
+    else:
+        # + 4 padded g inputs, 8 bf16 grad outputs, ~6 fp32 temporaries
+        per = cells * (16 * cpad * 2 + 6 * cpad * 4 + 4 * 128 * 4)
+    per = int(per * 1.25)  # Mosaic stack slack (measured 18.75M vs 15.7M est)
+    k_mem = max(1, (72 * 1024 * 1024) // per)
+    for k in range(min(k_mem, B), 0, -1):
+        if B % k == 0:
+            return k
+    return 1
+
+
 @jax.custom_vjp
 def _phead(b0, y10, mul1, add1, mul2, add2, Wh, bh):
     h, w = b0[0].shape[2], b0[0].shape[3]
     B, cin = b0[0].shape[0], b0[0].shape[-1]
     F = Wh.shape[-1]
     cdtype = b0[0].dtype
-    per_sample = 5 * h * w * (12 * cin + 4 * F) * 4
-    k = _choose_k(B, per_sample, 5 * h * w)
+    k = _head_k(B, h, w, cin, F, fwd=True)
     kernel = functools.partial(
         _phead_fwd_kernel, h=h, w=w, k=k, cin=cin, F=F, cdtype=cdtype
     )
@@ -1501,8 +1548,7 @@ def _phead_bwd(res, g):
     B, cin = b0[0].shape[0], b0[0].shape[-1]
     F = Wh.shape[-1]
     cdtype = b0[0].dtype
-    per_sample = 5 * h * w * (16 * cin + 8 * F) * 4
-    k = _choose_k(B, per_sample, 5 * h * w)
+    k = _head_k(B, h, w, cin, F, fwd=False)
     kernel = functools.partial(
         _phead_bwd_kernel, h=h, w=w, k=k, cin=cin, F=F, cdtype=cdtype,
         out_dtype=cdtype,

@@ -39,6 +39,24 @@ from geniconet_tpu.train.schedule import cyclic_triangular
 __all__ = ["TrainState", "Trainer", "build_model"]
 
 
+def _shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
+    """Version-tolerant shard_map (jax.shard_map in new releases,
+    jax.experimental.shard_map.shard_map in older ones)."""
+    try:
+        from jax import shard_map as sm
+
+        try:
+            return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      check_vma=check_rep)
+        except TypeError:
+            return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=check_rep)
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
@@ -59,7 +77,7 @@ def _sample_channels(v: np.ndarray, groups: int = 6) -> np.ndarray:
     return np.moveaxis(imgs, -1, 1).reshape(-1, v.shape[1], v.shape[2], 1)
 
 
-def build_model(cfg: Config):
+def build_model(cfg: Config, axis_name: Optional[str] = None):
     m = cfg.model
     use_pallas = m.use_pallas
     if use_pallas and jax.default_backend() != "tpu":
@@ -75,6 +93,7 @@ def build_model(cfg: Config):
             corner_mode=m.corner_mode,
             dtype=dtype,
             use_pallas=m.use_pallas,
+            axis_name=axis_name,
         )
     return IcoAE(
         subdivisions=m.subdivisions,
@@ -82,6 +101,7 @@ def build_model(cfg: Config):
         corner_mode=m.corner_mode,
         dtype=dtype,
         use_pallas=m.use_pallas,
+        axis_name=axis_name,
     )
 
 
@@ -92,6 +112,25 @@ class Trainer:
         self.cfg = cfg
         self.model = build_model(cfg)
         self.mesh = mesh
+        # GSPMD cannot partition the Pallas custom calls (side-effecting
+        # custom-call sharding RET_CHECK), so fused-kernel data parallelism
+        # runs the loss+grad under shard_map over the 1-D 'data' mesh with
+        # explicit psums; the XLA path keeps plain GSPMD. A 2-D
+        # (data, spatial) mesh spatially slices the grid, which the fused
+        # kernels' in-VMEM halos do not support — fall back to XLA there.
+        self._shard_map = False
+        if mesh is not None and self.model.use_pallas:
+            if tuple(mesh.axis_names) == ("data",):
+                self.model = build_model(cfg, axis_name="data")
+                self._shard_map = True
+            else:
+                print("[model] use_pallas + spatial mesh: using XLA convs "
+                      "(fused kernels need the full W axis per device)")
+                cfg = dataclasses.replace(
+                    cfg, model=dataclasses.replace(cfg.model, use_pallas=False)
+                )
+                self.cfg = cfg
+                self.model = build_model(cfg)
         self.logger = logger
         o = cfg.optim
         self.lr_fn = partial(
@@ -148,7 +187,8 @@ class Trainer:
     # jitted steps
     # ------------------------------------------------------------------
 
-    def _loss(self, params, batch_stats, rng, x, y, wt, epoch, train: bool):
+    def _loss(self, params, batch_stats, rng, x, y, wt, epoch, train: bool,
+              wsum=None):
         variables = {"params": params, "batch_stats": batch_stats}
         if self.is_vae:
             apply = partial(
@@ -165,7 +205,7 @@ class Trainer:
                 gamma=self.cfg.train.factor_gamma,
             )
             loss, metrics = p2pkld_loss(
-                recon, mu, logvar, y, self.s, self.factors, kf, wt
+                recon, mu, logvar, y, self.s, self.factors, kf, wt, wsum
             )
             aux = (upd["batch_stats"], metrics, (mu, logvar))
         else:
@@ -174,16 +214,54 @@ class Trainer:
             else:
                 out = self.model.apply(variables, x, train=False)
                 upd = {"batch_stats": batch_stats}
-            loss, metrics = p2p_loss(out, y, self.s, self.factors, wt)
-            aux = (upd["batch_stats"], metrics, None)
+            loss, metrics = p2p_loss(out, y, self.s, self.factors, wt, wsum)
+            aux = (upd["batch_stats"], metrics, () if self._shard_map else None)
         metrics["total"] = loss
         return loss, aux
 
+    def _sm_value_and_grad(self, params, batch_stats, rng, x, y, wt, epoch):
+        """Per-shard loss+grad under shard_map with explicit psums — exactly
+        the global-batch value/gradient (each shard normalizes by the GLOBAL
+        weight sum, so psum of shard gradients == global gradient). BatchNorm
+        moments pmean over 'data' inside the model (axis_name), keeping DP
+        global-batch exact like the GSPMD route."""
+        from jax.sharding import PartitionSpec as P
+
+        rep, dat = P(), P("data")
+
+        def shard_fn(params, batch_stats, rng, x, y, wt, epoch):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            wsum = jax.lax.psum(jnp.sum(wt.astype(jnp.float32)), "data")
+            (loss, (bstats, metrics, misc)), grads = jax.value_and_grad(
+                self._loss, has_aux=True
+            )(params, batch_stats, rng, x, y, wt, epoch, True, wsum)
+            # losses/metrics are local_weighted_sum / global_count — psum
+            # completes the global mean; grads likewise
+            loss = jax.lax.psum(loss, "data")
+            grads = jax.lax.psum(grads, "data")
+            metrics = jax.tree.map(lambda v: jax.lax.psum(v, "data"), metrics)
+            return (loss, (bstats, metrics, misc)), grads
+
+        misc_spec = (dat, dat) if self.is_vae else ()
+        fn = _shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(rep, rep, rep, dat, dat, dat, rep),
+            out_specs=((rep, (rep, rep, misc_spec)), rep),
+            check_rep=False,
+        )
+        return fn(params, batch_stats, rng, x, y, wt,
+                  jnp.asarray(epoch, jnp.int32))
+
     def _train_step(self, state: TrainState, x, y, wt, epoch, with_gflow=False):
         rng = jax.random.fold_in(state.rng, state.step)
-        (loss, (new_bstats, metrics, misc)), grads = jax.value_and_grad(
-            self._loss, has_aux=True
-        )(state.params, state.batch_stats, rng, x, y, wt, epoch, True)
+        if self._shard_map:
+            (loss, (new_bstats, metrics, misc)), grads = self._sm_value_and_grad(
+                state.params, state.batch_stats, rng, x, y, wt, epoch
+            )
+        else:
+            (loss, (new_bstats, metrics, misc)), grads = jax.value_and_grad(
+                self._loss, has_aux=True
+            )(state.params, state.batch_stats, rng, x, y, wt, epoch, True)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics["lr"] = self.lr_fn(state.step)
@@ -209,6 +287,26 @@ class Trainer:
 
     def _eval_step(self, state: TrainState, x, y, wt, epoch):
         rng = jax.random.fold_in(state.rng, 0x7FFFFFFF)
+        if self._shard_map:
+            from jax.sharding import PartitionSpec as P
+
+            rep, dat = P(), P("data")
+
+            def shard_fn(params, batch_stats, rng, x, y, wt, epoch):
+                wsum = jax.lax.psum(jnp.sum(wt.astype(jnp.float32)), "data")
+                _, (_, metrics, _) = self._loss(
+                    params, batch_stats, rng, x, y, wt, epoch, False, wsum
+                )
+                return jax.tree.map(lambda v: jax.lax.psum(v, "data"), metrics), wsum
+
+            fn = _shard_map(
+                shard_fn, mesh=self.mesh,
+                in_specs=(rep, rep, rep, dat, dat, dat, rep),
+                out_specs=(rep, rep),
+                check_rep=False,
+            )
+            return fn(state.params, state.batch_stats, rng, x, y, wt,
+                      jnp.asarray(epoch, jnp.int32))
         loss, (_, metrics, _) = self._loss(
             state.params, state.batch_stats, rng, x, y, wt, epoch, False
         )
