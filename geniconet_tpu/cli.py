@@ -112,9 +112,54 @@ def experiment_train(cfg: Config):
                   seed=cfg.train.seed, device_resident=resident)
     val = Batches(val_ds, cfg.train.batch_size, shuffle=False, sharding=sharding,
                   device_resident=resident)
-    state, history = trainer.fit(state, trn, val, start_epoch, best_loss)
+    state, history = _fit_with_retry(
+        cfg, trainer, state, trn, val, start_epoch, best_loss
+    )
     logger.close()
     return history
+
+
+def _transient_backend_error(e: BaseException) -> bool:
+    """Transient accelerator-runtime failures worth an auto-resume: the
+    tunneled TPU backend surfaces these as INTERNAL / FAILED_PRECONDITION
+    JaxRuntimeErrors mid-run (observed killing a 120-epoch soak at round 2)."""
+    s = f"{type(e).__name__}: {e}"
+    return ("INTERNAL" in s or "FAILED_PRECONDITION" in s
+            or "UNAVAILABLE" in s or "DEADLINE_EXCEEDED" in s)
+
+
+def _fit_with_retry(cfg, trainer, state, trn, val, start_epoch, best_loss):
+    """Run trainer.fit, auto-resuming from the newest checkpoint after a
+    transient backend error (cfg.train.backend_retries attempts). Training
+    state between checkpoints is lost; everything after the last EB/E save
+    re-runs — the same manual-resume semantics the reference offers
+    (run.py:459-462), automated."""
+    import time as _time
+
+    retries = cfg.train.backend_retries
+    attempt = 0
+    while True:
+        try:
+            return trainer.fit(state, trn, val, start_epoch, best_loss)
+        except Exception as e:  # noqa: BLE001 — filtered just below
+            if attempt >= retries or not _transient_backend_error(e):
+                raise
+            attempt += 1
+            wait = min(60 * attempt, 300)
+            print(f"[train] transient backend error ({e!r}); retry "
+                  f"{attempt}/{retries} in {wait}s from the latest checkpoint")
+            _time.sleep(wait)
+            ckpt_dir = os.path.join(cfg.model_log_dir(), "savedModel")
+            path = ckpt.latest_checkpoint(ckpt_dir, cfg.model.name)
+            state = trainer.init_state(
+                trn.ds.inputs[:1], seed=cfg.train.seed
+            )
+            if path:
+                state, start_epoch, best_loss = trainer.restore(state, path)
+                print(f"[train] resumed from {path} (epoch {start_epoch})")
+            else:
+                start_epoch, best_loss = 0, np.inf
+                print("[train] no checkpoint found; restarting from scratch")
 
 
 def experiment_encode(cfg: Config):

@@ -29,7 +29,22 @@ from geniconet_tpu.ops.conv import ico_conv_s2s, ico_conv_s2s_padded, taps_to_ke
 from geniconet_tpu.ops.pad import ico_pad
 from geniconet_tpu.ops.upsample import ico_upsample_s2s
 
-__all__ = ["IcoConvS2S", "IcoBatchNorm", "DownBlock", "UpBlock", "hex_uniform_init"]
+__all__ = ["IcoConvS2S", "IcoBatchNorm", "DownBlock", "UpBlock",
+           "hex_uniform_init", "pallas_block_enabled"]
+
+
+def pallas_block_enabled(name: Optional[str]) -> bool:
+    """Per-block Pallas routing override for hardware bisection: when
+    GENICONET_PALLAS_BLOCKS is set (comma list, e.g. 'down0,up2,conv_in'),
+    only the named blocks keep their fused kernels; everything else falls
+    back to XLA. Unset (default) = all blocks fused. Used to bisect the
+    VAE-bs36 backend crash (ROADMAP 'Known issue')."""
+    import os
+
+    v = os.environ.get("GENICONET_PALLAS_BLOCKS", "")
+    if not v:
+        return True
+    return (name or "") in {s.strip() for s in v.split(",")}
 
 
 def hex_uniform_init(fan_in: int) -> Callable:
@@ -272,6 +287,7 @@ class DownBlock(nn.Module):
         F = self.features
         if (
             self.use_pallas
+            and pallas_block_enabled(self.name)
             and s >= 2
             and phase_vmem_ok(h2, w2, cin, F, n_sets=2)
         ):
@@ -372,6 +388,7 @@ class UpBlock(nn.Module):
         F = self.features
         if (
             self.use_pallas
+            and pallas_block_enabled(self.name)
             and phase_vmem_ok(h, w, x.shape[-1], F, n_sets=2)
         ):
             # whole block in phase form: upsample + both first convs fused

@@ -86,8 +86,11 @@ class _Encoder(nn.Module):
         w0 = self.widths[0]
         # bn_in-apply + relu become down0's first-kernel prologue on the
         # fused path (the activated s-level tensor never reaches HBM)
+        from geniconet_tpu.nn.layers import pallas_block_enabled
+
         fuse_in = (
             self.use_pallas
+            and pallas_block_enabled("conv_in")
             and s >= 2
             and len(self.widths) > 1
             and phase_vmem_ok(x.shape[2] // 2, x.shape[3] // 2, w0,
@@ -166,8 +169,15 @@ class _Decoder(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, z, train: bool = False):
-        from geniconet_tpu.ops.pallas.phase_kernel import fused_pair_head
+    def __call__(self, z, train: bool = False, target=None):
+        """target=(tpack, tpoles) switches to loss-fused mode: return the
+        per-sample position-SSE against the packed target instead of the
+        reconstruction (the AE train/eval loss path — the recon never
+        reaches HBM; see fused_pair_head_mse)."""
+        from geniconet_tpu.ops.pallas.phase_kernel import (
+            fused_pair_head,
+            fused_pair_head_mse,
+        )
         from geniconet_tpu.ops.phase import phase_merge
 
         s = self.bottleneck_subdivisions
@@ -189,10 +199,29 @@ class _Decoder(nn.Module):
         if isinstance(x, tuple):  # fused route: (b0 phases, y10 phases, affines)
             b0, y10, affines = x
             kernel, bias = head(get_params=True)
+            if target is not None:
+                return fused_pair_head_mse(b0, y10, affines, kernel, bias,
+                                           *target)
             outs = fused_pair_head(b0, y10, affines, kernel, bias)
             return phase_merge(outs)
-        x = head(x)
-        return jnp.tanh(x.astype(jnp.float32))
+        out = jnp.tanh(head(x).astype(jnp.float32))
+        if target is None:
+            return out
+        # XLA fallback of the fused SSE — phase-sliced so the packed target
+        # is consumed identically (values match the kernel bit-for-bit in
+        # fp32; pinned in tests/test_round3.py)
+        tpack, tpoles = target
+        F = self.out_features
+        sse = jnp.zeros((out.shape[0],), jnp.float32)
+        for p in range(4):
+            d = (out[:, :, p >> 1 :: 2, p & 1 :: 2, :]
+                 - tpack[..., p * F : (p + 1) * F].astype(jnp.float32))
+            sse += jnp.sum(d * d, axis=(1, 2, 3, 4))
+        pn = jnp.mean(out[:, :, 0, 0, :], axis=1)
+        ps = jnp.mean(out[:, :, -1, -1, :], axis=1)
+        dn = pn - tpoles[:, 0:F].astype(jnp.float32)
+        ds_ = ps - tpoles[:, F : 2 * F].astype(jnp.float32)
+        return sse + jnp.sum(dn * dn, axis=1) + jnp.sum(ds_ * ds_, axis=1)
 
 
 class IcoAE(nn.Module):
@@ -228,6 +257,16 @@ class IcoAE(nn.Module):
         zc = split_charts(z, self.subdivisions - 3)
         y = self.decoder(zc, train=train)
         return merge_charts(y)
+
+    def recon_sse(self, x, tpack, tpoles, train: bool = False):
+        """Per-sample position squared-error sum of the reconstruction
+        against a packed target (ops/vertices.pack_target_phases) — the
+        loss-fused AE path: on the fused route the reconstruction never
+        reaches HBM (fused_pair_head_mse). Equals
+        sum((grid_to_vertices(self(x)) - target_pos)**2) per sample."""
+        xc = split_charts(x, self.subdivisions)
+        z = self.encoder(xc, train=train)
+        return self.decoder(z, train=train, target=(tpack, tpoles))
 
     def __call__(self, x, train: bool = False):
         return self.decode(self.encode(x, train=train), train=train)

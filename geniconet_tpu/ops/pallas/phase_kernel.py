@@ -65,6 +65,7 @@ __all__ = [
     "fused_up_dual_conv",
     "fused_phase_conv_s1",
     "fused_pair_head",
+    "fused_pair_head_mse",
     "phase_vmem_ok",
 ]
 
@@ -1604,3 +1605,269 @@ def fused_pair_head(b0, y10, affines, Wh, bh):
     """
     mul1, add1, mul2, add2 = affines
     return _phead(tuple(b0), tuple(y10), mul1, add1, mul2, add2, Wh, bh)
+
+
+# --------------------------- fused_pair_head_mse ----------------------------
+#
+# The AE's ENTIRE decoder tail — last-UpBlock pair tail + 1x1 head + tanh +
+# position-MSE against the target (grid cells AND the two averaged pole
+# vertices, reference losses.py:22-31,48-51) — in one kernel emitting a
+# per-sample squared-error SUM. The reconstruction never exists in HBM in
+# any layout: no (..., 3) tensor (42x lane padding) is ever written or read
+# back, and the loss's XLA passes disappear. The target arrives lane-packed
+# (ops/vertices.pack_target_phases). Used on the AE training/eval loss path
+# (pos-only factors); the VAE keeps fused_pair_head + the general loss.
+
+
+def _phmse_core(b0, y10, mul1, add1, mul2, add2, Wh, bh, k, h, w, cin, F,
+                cdtype):
+    """Shared fwd recompute: per phase p returns (pre (n,h,w,cin) f32,
+    t (rows,cin) cdtype, v (k,5,h,w,F) f32 tanh output)."""
+    n = k * 5
+    rows = n * h * w
+    outs = []
+    for a_ref, b_ref in zip(b0, y10):
+        a32 = a_ref[...].reshape(n, h, w, cin).astype(jnp.float32)
+        b32 = b_ref[...].reshape(n, h, w, cin).astype(jnp.float32)
+        pre = a32 * mul1 + add1 + b32 * mul2 + add2
+        t = jnp.maximum(pre, 0.0).astype(cdtype).reshape(rows, cin)
+        z = jnp.dot(t, Wh[...], preferred_element_type=jnp.float32)
+        z = (z + bh[0].astype(jnp.float32)).astype(cdtype).astype(jnp.float32)
+        v = jnp.tanh(z).reshape(k, 5, h, w, F)
+        outs.append((a32, b32, pre, t, v))
+    return outs
+
+
+def _pole_means(v_ee, v_oq, k, h, w, F):
+    """North/south pole vertices from the output phases (ops/vertices.py:
+    north = mean_c grid[c,0,0] = mean_c ee[c,0,0]; south = mean_c
+    grid[c,h-1,w-1] = mean_c oq[c,hp-1,wp-1]) -> (k, F) each."""
+    fifth = jnp.asarray(0.2, jnp.float32)
+    pn = sum(v_ee[:, c, 0, 0, :] for c in range(5)) * fifth
+    ps = sum(v_oq[:, c, h - 1, w - 1, :] for c in range(5)) * fifth
+    return pn, ps
+
+
+def _phmse_fwd_kernel(*refs, h, w, k, cin, F, cdtype):
+    b0 = refs[0:4]
+    y10 = refs[4:8]
+    mul1, add1, mul2, add2 = refs[8][0], refs[9][0], refs[10][0], refs[11][0]
+    Wh, bh = refs[12], refs[13]
+    tpack_ref, tpole_ref = refs[14], refs[15]
+    sse_ref = refs[16]
+    core = _phmse_core(b0, y10, mul1, add1, mul2, add2, Wh, bh, k, h, w, cin,
+                       F, cdtype)
+    tpack = tpack_ref[...].astype(jnp.float32)
+    # Mosaic-safe reduction discipline: real Mosaic rejects both rank-1 (k,)
+    # vectors (layout.h SIGABRT) and stepwise sublane reductions of the 5-D
+    # diff ("Invalid relayout ... replicated in destination" on the
+    # (k,5,h,F) intermediate). Per-sample sums are therefore done as an MXU
+    # matmul against a block-indicator selector: rows of the flattened
+    # (rows, F) tensor belong to sample r // (5*h*w).
+    rows_per = 5 * h * w
+    rows = k * rows_per
+    sample_of_row = jax.lax.broadcasted_iota(jnp.int32, (k, rows), 1) // rows_per
+    sample_id = jax.lax.broadcasted_iota(jnp.int32, (k, rows), 0)
+    S = (sample_of_row == sample_id).astype(jnp.float32)  # (k, rows)
+    sseF = jnp.zeros((k, F), jnp.float32)
+    for p, (_, _, _, _, v) in enumerate(core):
+        d = v - tpack[..., p * F : (p + 1) * F]
+        sseF += jnp.dot(S, (d * d).reshape(rows, F),
+                        preferred_element_type=jnp.float32)
+    pn, ps = _pole_means(core[0][4], core[3][4], k, h, w, F)
+    tp = tpole_ref[...].reshape(k, 2 * F).astype(jnp.float32)
+    dn = pn - tp[:, 0:F]
+    ds_ = ps - tp[:, F : 2 * F]
+    # lane reduce (k,F)->(k,1) as a matmul too, then pad to the (k,1,8) block
+    # (scatter is not lowerable on Mosaic; pad is)
+    onesF = jnp.ones((F, 1), jnp.float32)
+    sse2 = jnp.dot(sseF + dn * dn + ds_ * ds_, onesF,
+                   preferred_element_type=jnp.float32)  # (k, 1)
+    sse_ref[...] = jnp.pad(sse2, ((0, 0), (0, 7))).reshape(k, 1, 8)
+
+
+def _phmse_bwd_kernel(*refs, h, w, k, cin, F, cdtype, out_dtype):
+    g_ref = refs[0]
+    b0 = refs[1:5]
+    y10 = refs[5:9]
+    mul1, add1, mul2, add2 = refs[9][0], refs[10][0], refs[11][0], refs[12][0]
+    Wh, bh = refs[13], refs[14]
+    tpack_ref, tpole_ref = refs[15], refs[16]
+    db0 = refs[17:21]
+    dy10 = refs[21:25]
+    dW_ref, dbh_ref = refs[25], refs[26]
+    dm1_ref, da1_ref, dm2_ref, da2_ref = refs[27], refs[28], refs[29], refs[30]
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        dW_ref[...] = jnp.zeros_like(dW_ref)
+        dbh_ref[...] = jnp.zeros_like(dbh_ref)
+        dm1_ref[...] = jnp.zeros_like(dm1_ref)
+        da1_ref[...] = jnp.zeros_like(da1_ref)
+        dm2_ref[...] = jnp.zeros_like(dm2_ref)
+        da2_ref[...] = jnp.zeros_like(da2_ref)
+
+    n = k * 5
+    rows = n * h * w
+    core = _phmse_core(b0, y10, mul1, add1, mul2, add2, Wh, bh, k, h, w, cin,
+                       F, cdtype)
+    tpack = tpack_ref[...].astype(jnp.float32)
+    tp = tpole_ref[...].reshape(k, 2 * F).astype(jnp.float32)
+    # (k, 1) — rank-2 throughout; rank-1 (k,) arrays abort real Mosaic
+    g2 = g_ref[...].reshape(k, 8)[:, 0:1].astype(jnp.float32)
+    gb = g2.reshape(k, 1, 1, 1, 1)
+    pn, ps = _pole_means(core[0][4], core[3][4], k, h, w, F)
+    # pole-mean adjoint: each contributing corner cell gets 1/5 of the pole
+    # cotangent (the SAME recipe as _pad_transpose's pole handling)
+    dpole_n = (g2 * 2.0 * (pn - tp[:, 0:F]))[:, None, :] * 0.2  # (k,1,F)
+    dpole_s = (g2 * 2.0 * (ps - tp[:, F : 2 * F]))[:, None, :] * 0.2
+
+    W32 = Wh[...].astype(jnp.float32)
+    dW_p = jnp.zeros((cin, F), jnp.float32)
+    dbh_p = jnp.zeros((F,), jnp.float32)
+    dm1_p = jnp.zeros((cin,), jnp.float32)
+    da1_p = jnp.zeros((cin,), jnp.float32)
+    dm2_p = jnp.zeros((cin,), jnp.float32)
+    for p, (a32, b32, pre, t, v) in enumerate(core):
+        dv = gb * 2.0 * (v - tpack[..., p * F : (p + 1) * F])
+        if p == 0:  # ee corner cells feed the north pole (pad, not scatter)
+            corner = jnp.broadcast_to(dpole_n[:, :, None, None, :], (k, 5, 1, 1, F))
+            dv = dv + jnp.pad(
+                corner, ((0, 0), (0, 0), (0, h - 1), (0, w - 1), (0, 0))
+            )
+        if p == 3:  # oq corner cells feed the south pole
+            corner = jnp.broadcast_to(dpole_s[:, :, None, None, :], (k, 5, 1, 1, F))
+            dv = dv + jnp.pad(
+                corner, ((0, 0), (0, 0), (h - 1, 0), (w - 1, 0), (0, 0))
+            )
+        dz = dv.reshape(rows, F) * (1.0 - (v * v).reshape(rows, F))
+        dbh_p += jnp.sum(dz, axis=0)
+        dW_p += jax.lax.dot_general(
+            t.astype(jnp.float32), dz,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dt = jax.lax.dot_general(
+            dz, W32,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(n, h, w, cin)
+        dm = dt * (pre > 0.0).astype(jnp.float32)
+        db0[p][...] = (dm * mul1).reshape(k, 5, h, w, cin).astype(out_dtype)
+        dy10[p][...] = (dm * mul2).reshape(k, 5, h, w, cin).astype(out_dtype)
+        dm1_p += jnp.sum(dm * a32, axis=(0, 1, 2))
+        da1_p += jnp.sum(dm, axis=(0, 1, 2))
+        dm2_p += jnp.sum(dm * b32, axis=(0, 1, 2))
+    dW_ref[...] += dW_p
+    dbh_ref[...] += dbh_p.reshape(1, F)
+    dm1_ref[...] += dm1_p.reshape(1, cin)
+    da1_ref[...] += da1_p.reshape(1, cin)
+    dm2_ref[...] += dm2_p.reshape(1, cin)
+    da2_ref[...] += da1_p.reshape(1, cin)
+
+
+@jax.custom_vjp
+def _phmse(b0, y10, mul1, add1, mul2, add2, Wh, bh, tpack, tpoles):
+    h, w = b0[0].shape[2], b0[0].shape[3]
+    B, cin = b0[0].shape[0], b0[0].shape[-1]
+    F = Wh.shape[-1]
+    cdtype = b0[0].dtype
+    k = _head_k(B, h, w, cin, F, fwd=True)
+    kernel = functools.partial(
+        _phmse_fwd_kernel, h=h, w=w, k=k, cin=cin, F=F, cdtype=cdtype
+    )
+    in_specs = [_block((k, 5, h, w, cin))] * 8
+    in_specs += [_block((1, cin))] * 4
+    in_specs += [_full(), _block((1, F))]
+    # per-sample vectors ride as (B, 1, n): Mosaic requires the last two
+    # block dims be (8,128)-divisible OR full — (k, n) blocks are neither
+    in_specs += [_block((k, 5, h, w, 4 * F)), _block((k, 1, 2 * F))]
+    args = (
+        list(b0) + list(y10)
+        + [v.reshape(1, cin).astype(jnp.float32) for v in (mul1, add1, mul2, add2)]
+        + [Wh, bh.reshape(1, F), tpack, tpoles.reshape(B, 1, 2 * F)]
+    )
+    flops = 2 * B * 5 * h * w * 4 * cin * F
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=_block((k, 1, 8)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
+        **_params(flops, B * 5 * h * w * cin * cdtype.itemsize * 8),
+    )(*args)
+    return out[:, 0, 0]
+
+
+def _phmse_fwd(b0, y10, mul1, add1, mul2, add2, Wh, bh, tpack, tpoles):
+    sse = _phmse(b0, y10, mul1, add1, mul2, add2, Wh, bh, tpack, tpoles)
+    return sse, (b0, y10, mul1, add1, mul2, add2, Wh, bh, tpack, tpoles)
+
+
+def _phmse_bwd(res, g):
+    b0, y10, mul1, add1, mul2, add2, Wh, bh, tpack, tpoles = res
+    h, w = b0[0].shape[2], b0[0].shape[3]
+    B, cin = b0[0].shape[0], b0[0].shape[-1]
+    F = Wh.shape[-1]
+    cdtype = b0[0].dtype
+    k = _head_k(B, h, w, cin, F, fwd=False)
+    kernel = functools.partial(
+        _phmse_bwd_kernel, h=h, w=w, k=k, cin=cin, F=F, cdtype=cdtype,
+        out_dtype=cdtype,
+    )
+    g8 = jnp.zeros((B, 1, 8), jnp.float32).at[:, 0, 0].set(g.astype(jnp.float32))
+    in_specs = [_block((k, 1, 8))]
+    in_specs += [_block((k, 5, h, w, cin))] * 8
+    in_specs += [_block((1, cin))] * 4
+    in_specs += [_full(), _block((1, F))]
+    in_specs += [_block((k, 5, h, w, 4 * F)), _block((k, 1, 2 * F))]
+    args = (
+        [g8] + list(b0) + list(y10)
+        + [v.reshape(1, cin).astype(jnp.float32) for v in (mul1, add1, mul2, add2)]
+        + [Wh, bh.reshape(1, F), tpack, tpoles.reshape(B, 1, 2 * F)]
+    )
+    out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, cin), cdtype)] * 8
+    out_specs = [_block((k, 5, h, w, cin))] * 8
+    out_shape += [
+        jax.ShapeDtypeStruct((cin, F), jnp.float32),
+        jax.ShapeDtypeStruct((1, F), jnp.float32),
+    ]
+    out_specs += [_acc_spec((cin, F)), _acc_spec((1, F))]
+    out_shape += [jax.ShapeDtypeStruct((1, cin), jnp.float32)] * 4
+    out_specs += [_acc_spec((1, cin))] * 4
+    flops = 2 * B * 5 * h * w * 4 * cin * F * 3
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * cdtype.itemsize * 16),
+    )(*args)
+    db0 = tuple(outs[0:4])
+    dy10 = tuple(outs[4:8])
+    dW = outs[8].astype(Wh.dtype)
+    dbh = outs[9].reshape(F).astype(bh.dtype)
+    dm1 = outs[10].reshape(cin)
+    da1 = outs[11].reshape(cin)
+    dm2 = outs[12].reshape(cin)
+    da2 = outs[13].reshape(cin)
+    return (db0, dy10, dm1, da1, dm2, da2, dW, dbh,
+            jnp.zeros_like(tpack), jnp.zeros_like(tpoles))
+
+
+_phmse.defvjp(_phmse_fwd, _phmse_bwd)
+
+
+def fused_pair_head_mse(b0, y10, affines, Wh, bh, tpack, tpoles):
+    """Last-UpBlock tail + head + tanh + position-SSE in one kernel.
+
+    b0/y10/affines/Wh/bh as in `fused_pair_head`; tpack/tpoles from
+    ops/vertices.pack_target_phases. Returns (B,) fp32 per-sample squared-
+    error SUM over every vertex coordinate — grid cells plus the two
+    averaged pole vertices (reference losses.py:22-31,48-51). Divide by
+    (V*3) for the reference's per-sample MSE."""
+    mul1, add1, mul2, add2 = affines
+    return _phmse(tuple(b0), tuple(y10), mul1, add1, mul2, add2, Wh, bh,
+                  tpack, tpoles)

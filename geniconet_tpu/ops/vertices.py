@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from geniconet_tpu.geometry import ico
 
-__all__ = ["grid_to_vertices", "vertices_to_grid"]
+__all__ = ["grid_to_vertices", "vertices_to_grid", "pack_target_phases"]
 
 
 def grid_to_vertices(x: jnp.ndarray, subdivisions: int) -> jnp.ndarray:
@@ -29,6 +29,25 @@ def grid_to_vertices(x: jnp.ndarray, subdivisions: int) -> jnp.ndarray:
     north = jnp.mean(xc[:, :, 0, 0, :], axis=1, keepdims=True)          # (B,1,C)
     south = jnp.mean(xc[:, :, h - 1, w - 1, :], axis=1, keepdims=True)  # (B,1,C)
     return jnp.concatenate([flat, north, south], axis=1)
+
+
+def pack_target_phases(target: jnp.ndarray, subdivisions: int):
+    """(B, V, >=3) vertex targets -> lane-packed position phases for the
+    fused head+MSE kernel: ((B, 5, h/2, w/2, 12) with phase p's xyz at lanes
+    [3p:3p+3], (B, 6) = [north xyz | south xyz] pole targets).
+
+    The 12-lane pack exists because a (..., 3) tensor in TPU tiled layout
+    pads lanes 42x — the kernel reads one 12-lane tensor instead of four
+    3-lane ones. Phase order matches ops/phase.py (p = 2*pr + pq)."""
+    h, w = ico.chart_shape(subdivisions)
+    B = target.shape[0]
+    pos = target[..., :3].astype(jnp.float32)
+    grid = pos[:, :-2].reshape(B, 5, h, w, 3)
+    tpack = jnp.concatenate(
+        [grid[:, :, p >> 1 :: 2, p & 1 :: 2, :] for p in range(4)], axis=-1
+    )
+    tpoles = pos[:, -2:].reshape(B, 6)
+    return tpack, tpoles
 
 
 def vertices_to_grid(v: jnp.ndarray, subdivisions: int) -> jnp.ndarray:

@@ -30,6 +30,7 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "latest_best_epoch",
+    "latest_checkpoint",
     "checkpoint_path",
     "gc_best_checkpoints",
     "restore_filtered",
@@ -82,6 +83,24 @@ def latest_best_epoch(ckpt_dir: str, model_name: str):
         return None
     best = _best_epochs(ckpt_dir, model_name)
     return max(best) if best else None
+
+
+def latest_checkpoint(ckpt_dir: str, model_name: str):
+    """Path of the newest checkpoint of ANY kind (EB best or E periodic),
+    preferring the higher epoch — the crash-recovery resume point."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    pat = re.compile(re.escape(model_name) + r"_(EB?)(\d+)\.ckpt")
+    cands = []
+    for f in os.listdir(ckpt_dir):
+        m = pat.fullmatch(f)
+        if m:
+            # at equal epoch prefer the periodic save (strictly newer state:
+            # the EB was written before the epoch's final periodic save)
+            cands.append((int(m.group(2)), m.group(1) == "E", f))
+    if not cands:
+        return None
+    return os.path.join(ckpt_dir, max(cands)[2])
 
 
 def gc_best_checkpoints(ckpt_dir: str, model_name: str, keep: int = 6):

@@ -101,6 +101,9 @@ class TrainConfig:
     log_encoding_hist: bool = True
     profile_dir: str = ""       # jax.profiler trace output (epoch 1 traced)
     debug_timing: bool = False  # print per-epoch step timing (--debug)
+    # auto-resume from the newest checkpoint after a transient backend error
+    # (INTERNAL/FAILED_PRECONDITION/...); 0 disables
+    backend_retries: int = 2
 
 
 @dataclass
@@ -191,6 +194,8 @@ def parse_args(argv=None) -> Config:
                    help="pole-corner synthesis mode (reference run.py:683)")
     p.add_argument("--n_samples", type=int, default=8,
                    help="sample process: meshes drawn from the checkpoint's misc")
+    p.add_argument("--backend_retries", type=int, default=None,
+                   help="auto-resume attempts after transient backend errors")
     p.add_argument("--log_encoding_epoch", type=int, default=None,
                    help="encoding-logging period (reference run.py:643,664)")
     p.add_argument("--log_encoding_images", action="store_true",
@@ -261,6 +266,8 @@ def parse_args(argv=None) -> Config:
     cfg.write_output_mesh = a.write_output_mesh
     cfg.n_samples = a.n_samples
     cfg.data.device_resident = a.deviceResident
+    if a.backend_retries is not None:
+        cfg.train.backend_retries = a.backend_retries
     if a.log_encoding_epoch is not None:
         cfg.train.log_encoding_epoch = a.log_encoding_epoch
     if a.log_encoding_images:

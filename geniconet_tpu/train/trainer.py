@@ -146,6 +146,18 @@ class Trainer:
         self.s = cfg.model.subdivisions
         self.factors = cfg.loss_factors
         self.is_vae = cfg.model.is_vae
+        # AE + pos-only factors + fused kernels: route the loss through the
+        # head+MSE kernel (the reconstruction never reaches HBM). Off by
+        # default on hardware until the phmse kernel's runtime INTERNAL on
+        # the tunneled backend is root-caused (scripts/probe_phmse.py);
+        # GENICONET_FUSED_MSE=1 opts in.
+        self._fused_mse = (
+            not self.is_vae
+            and self.model.use_pallas
+            and self.factors.nor == 0.0
+            and self.factors.lap == 0.0
+            and os.environ.get("GENICONET_FUSED_MSE", "0") == "1"
+        )
         self._jit_train_step = jax.jit(
             partial(self._train_step, with_gflow=False), donate_argnums=(0,)
         )
@@ -170,7 +182,17 @@ class Trainer:
         rngs = {"params": jax.random.key(seed)}
         if self.is_vae:
             rngs["reparam"] = jax.random.key(seed + 1)
-        variables = self.model.init(rngs, jnp.asarray(sample_input[:1]), train=False)
+        init_model = self.model
+        if getattr(init_model, "use_pallas", False):
+            # init only materializes param/batch-stat VALUES, which are
+            # path-independent (same init fns, same structure — pinned by
+            # tests/test_model_pallas_parity.py). The XLA route skips ~14
+            # batch-size-1 Mosaic kernel compiles that the fused path would
+            # trigger (~2 min of the cold-compile cost on the tunneled
+            # backend, where every Mosaic compile is an HTTP+subprocess
+            # round trip).
+            init_model = init_model.clone(use_pallas=False)
+        variables = init_model.init(rngs, jnp.asarray(sample_input[:1]), train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
@@ -208,6 +230,30 @@ class Trainer:
                 recon, mu, logvar, y, self.s, self.factors, kf, wt, wsum
             )
             aux = (upd["batch_stats"], metrics, (mu, logvar))
+        elif self._fused_mse:
+            # AE fast path: the decoder computes the per-sample position-SSE
+            # in the head kernel — the reconstruction never exists in HBM
+            # (pos-only factors, reference run.py:689-692). Numerics equal
+            # p2p_loss's l_pos: sse/(V*3) == mean((v-t)^2, axis=(1,2)).
+            from geniconet_tpu.geometry.ico import num_vertices
+            from geniconet_tpu.losses.p2p import _wmean
+            from geniconet_tpu.ops.vertices import pack_target_phases
+
+            tpack, tpoles = pack_target_phases(y, self.s)
+            apply = partial(
+                self.model.apply, train=train, method=self.model.recon_sse
+            )
+            if train:
+                sse, upd = apply(variables, x, tpack, tpoles,
+                                 mutable=["batch_stats"])
+            else:
+                sse = apply(variables, x, tpack, tpoles)
+                upd = {"batch_stats": batch_stats}
+            V = num_vertices(self.s)
+            l_pos = _wmean(sse / (V * 3.0), wt, wsum)
+            loss = self.factors.pos * l_pos
+            metrics = {"mse": l_pos, "cos": jnp.zeros(()), "lap": jnp.zeros(())}
+            aux = (upd["batch_stats"], metrics, () if self._shard_map else None)
         else:
             if train:
                 out, upd = self.model.apply(variables, x, train=True, mutable=["batch_stats"])

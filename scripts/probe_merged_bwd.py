@@ -29,6 +29,7 @@ def main():
     enable_compilation_cache()
     fam = sys.argv[1]
     B = int(os.environ.get("PROBE_BS", "36"))
+    with_stats = os.environ.get("PROBE_STATS", "1") == "1"
     dt = jnp.bfloat16
 
     if fam == "model":
@@ -55,9 +56,10 @@ def main():
 
     if fam == "pcs1":
         def f(phases, taps, bias):
-            out, st = pk.fused_phase_conv_s1(
-                phases, taps, bias, "average", with_stats=True
+            r = pk.fused_phase_conv_s1(
+                phases, taps, bias, "average", with_stats=with_stats
             )
+            out, st = r if with_stats else (r, 0.0)
             return (sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in out)
                     + jnp.sum(st))
     elif fam == "ds2":
@@ -65,9 +67,11 @@ def main():
         bias_b = mk(cout)
 
         def f(phases, taps, bias):
-            ya, yb, sa, sb = pk.fused_dual_s2_conv(
-                phases, taps, bias, taps_b, bias_b, "average", with_stats=True
+            r = pk.fused_dual_s2_conv(
+                phases, taps, bias, taps_b, bias_b, "average",
+                with_stats=with_stats,
             )
+            (ya, yb, sa, sb) = r if with_stats else (*r, 0.0, 0.0)
             return (jnp.sum(ya.astype(jnp.float32) ** 2)
                     + jnp.sum(yb.astype(jnp.float32) ** 2)
                     + jnp.sum(sa) + jnp.sum(sb))
@@ -77,9 +81,10 @@ def main():
         bias_b = mk(cout)
 
         def f(x, taps, bias):
-            ya, yb, sa, sb = pk.fused_up_dual_conv(
-                x, taps, bias, taps_b, bias_b, "average", with_stats=True
+            r = pk.fused_up_dual_conv(
+                x, taps, bias, taps_b, bias_b, "average", with_stats=with_stats
             )
+            (ya, yb, sa, sb) = r if with_stats else (*r, 0.0, 0.0)
             return (sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in ya)
                     + sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in yb)
                     + jnp.sum(sa) + jnp.sum(sb))
@@ -93,8 +98,8 @@ def main():
     vals = [float(jnp.sum(jnp.abs(l.astype(jnp.float32)))) for l in
             jax.device_get(leaves)]
     assert all(np.isfinite(v) for v in vals), vals
-    print(f"probe {fam} h={h} w={w} cin={cin} cout={cout} bs={B}: OK "
-          f"(grad |sum|={sum(vals):.3f})")
+    print(f"probe {fam} h={h} w={w} cin={cin} cout={cout} bs={B} "
+          f"stats={with_stats}: OK (grad |sum|={sum(vals):.3f})")
 
 
 if __name__ == "__main__":

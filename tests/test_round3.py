@@ -154,3 +154,111 @@ def test_fused_pair_head_matches_xla_composition():
         for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_fit_with_retry_resumes(tmp_path, monkeypatch):
+    """A transient backend error mid-fit auto-resumes from the newest
+    checkpoint (soak-stability wrapper); non-transient errors re-raise."""
+    import time
+    import types
+
+    from geniconet_tpu.cli import _fit_with_retry
+    from geniconet_tpu.train.config import Config
+
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    cfg = Config()
+    cfg.log_dir = str(tmp_path)
+    cfg.train.backend_retries = 2
+    ckpt_dir = os.path.join(cfg.model_log_dir(), "savedModel")
+    os.makedirs(ckpt_dir)
+    open(os.path.join(ckpt_dir, "ico2ico_E3.ckpt"), "wb").close()
+
+    calls = {"fit": 0, "restored_from": None}
+
+    class FakeTrainer:
+        def fit(self, state, trn, val, start_epoch, best_loss):
+            calls["fit"] += 1
+            if calls["fit"] == 1:
+                raise RuntimeError("INTERNAL: TPU backend error: wedged")
+            return (state, [start_epoch, best_loss])
+
+        def init_state(self, x, seed=0):
+            return "fresh"
+
+        def restore(self, state, path):
+            calls["restored_from"] = path
+            return ("restored", 3, 0.25)
+
+    trn = types.SimpleNamespace(ds=types.SimpleNamespace(inputs=np.zeros((2, 4))))
+    state, hist = _fit_with_retry(cfg, FakeTrainer(), "s0", trn, None, 0, np.inf)
+    assert calls["fit"] == 2
+    assert calls["restored_from"].endswith("ico2ico_E3.ckpt")
+    assert hist == [3, 0.25]  # resumed epoch/best_loss reached the retry fit
+
+    class FatalTrainer(FakeTrainer):
+        def fit(self, *a):
+            raise ValueError("user bug, not a backend error")
+
+    with pytest.raises(ValueError):
+        _fit_with_retry(cfg, FatalTrainer(), "s0", trn, None, 0, np.inf)
+
+
+def test_latest_checkpoint_prefers_newest():
+    import tempfile
+
+    from geniconet_tpu.train import checkpoint as ckpt
+
+    with tempfile.TemporaryDirectory() as d:
+        for name in ("ico2ico_EB4.ckpt", "ico2ico_E3.ckpt",
+                     "ico2ico_vae_EB9.ckpt"):
+            open(os.path.join(d, name), "wb").close()
+        assert ckpt.latest_checkpoint(d, "ico2ico").endswith("ico2ico_EB4.ckpt")
+        assert ckpt.latest_checkpoint(d, "ico2ico_vae").endswith("_EB9.ckpt")
+        assert ckpt.latest_checkpoint(d, "nope") is None
+
+
+def test_fused_mse_loss_matches_general_path():
+    """The AE loss-fused route (head+tanh+SSE in one kernel, recon never in
+    HBM) must reproduce the general p2p path: loss + one optimizer step, and
+    the XLA fallback of recon_sse must match grid_to_vertices-based SSE."""
+    import unittest.mock as mock
+
+    from geniconet_tpu.data.datasets import synthetic_dataset
+    from geniconet_tpu.data.pipeline import Batches
+    from geniconet_tpu.train.config import Config
+    from geniconet_tpu.train.trainer import Trainer
+
+    ds = synthetic_dataset(3, 8, seed=0)
+
+    def one(use_pallas, fused_mse):
+        cfg = Config()
+        cfg.model.name = "ico2ico"
+        cfg.model.subdivisions = 3
+        cfg.model.widths = (8, 12, 16)
+        cfg.model.use_pallas = use_pallas
+        cfg.train.batch_size = 8
+        cfg.train.log_grad_freq = 0
+        with mock.patch.object(jax, "default_backend", lambda: "tpu"):
+            with pltpu.force_tpu_interpret_mode():
+                tr = Trainer(cfg)
+                tr._fused_mse = fused_mse
+                st = tr.init_state(ds.inputs[:1], seed=4)
+                x, y, wt = next(iter(Batches(ds, 8, shuffle=False).epoch()))
+                st, m, _, _ = tr._jit_train_step(st, x, y, wt, 0)
+                st, m, _, _ = tr._jit_train_step(st, x, y, wt, 0)
+                ev, _ = tr._jit_eval_step(st, x, y, wt, 0)
+        return (float(jax.device_get(m["total"])),
+                float(jax.device_get(ev["total"])),
+                jax.device_get(st.params))
+
+    l_gen, e_gen, p_gen = one(True, False)   # pallas, general p2p loss
+    l_fus, e_fus, p_fus = one(True, True)    # pallas, kernel-fused SSE
+    np.testing.assert_allclose(l_fus, l_gen, rtol=1e-6)
+    np.testing.assert_allclose(e_fus, e_gen, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_gen), jax.tree.leaves(p_fus)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    # XLA fallback of recon_sse (use_pallas=False) matches too
+    l_xla, e_xla, _ = one(False, True)
+    np.testing.assert_allclose(l_xla, l_gen, rtol=1e-5)
+    np.testing.assert_allclose(e_xla, e_gen, rtol=1e-5)
