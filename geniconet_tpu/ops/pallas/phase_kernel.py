@@ -1482,13 +1482,15 @@ def _phead_bwd_kernel(*refs, h, w, k, cin, F, cdtype, out_dtype):
     da2_ref[...] += da1_p.reshape(1, cin)  # Σdm is shared by both affines
 
 
-def _head_k(B, h, w, cin, F, fwd):
+def _head_k(B, h, w, cin, F, fwd, extra_per_cell_bytes=0):
     """Samples per program for the head kernels. These are tiny-matmul,
     bandwidth-bound programs — per-program overhead dominates at k=1 (36
     programs cost ~0.5 ms at bs36) — but every buffer is LANE-PADDED to 128
     in VMEM (the F=3 outputs 42x, the 64-ch phases 2x), so the estimate must
     use padded channel counts (measured 18.75MB/sample at up2 shapes; a
-    k=6 program hit Mosaic's 100MB scoped-vmem stack limit)."""
+    k=6 program hit Mosaic's 100MB scoped-vmem stack limit).
+    extra_per_cell_bytes: additional per-grid-cell VMEM for kernel variants
+    with more resident buffers (the MSE head's lane-padded packed target)."""
     del F  # everything pads to the 128-lane tile anyway
     cells = 5 * h * w
     cpad = max(cin, 128)
@@ -1498,7 +1500,7 @@ def _head_k(B, h, w, cin, F, fwd):
     else:
         # + 4 padded g inputs, 8 bf16 grad outputs, ~6 fp32 temporaries
         per = cells * (16 * cpad * 2 + 6 * cpad * 4 + 4 * 128 * 4)
-    per = int(per * 1.25)  # Mosaic stack slack (measured 18.75M vs 15.7M est)
+    per = int((per + cells * extra_per_cell_bytes) * 1.25)
     k_mem = max(1, (72 * 1024 * 1024) // per)
     for k in range(min(k_mem, B), 0, -1):
         if B % k == 0:
@@ -1619,33 +1621,32 @@ def fused_pair_head(b0, y10, affines, Wh, bh):
 # (pos-only factors); the VAE keeps fused_pair_head + the general loss.
 
 
-def _phmse_core(b0, y10, mul1, add1, mul2, add2, Wh, bh, k, h, w, cin, F,
-                cdtype):
-    """Shared fwd recompute: per phase p returns (pre (n,h,w,cin) f32,
-    t (rows,cin) cdtype, v (k,5,h,w,F) f32 tanh output)."""
+def _phmse_phase(a_ref, b_ref, mul1, add1, mul2, add2, Wh, bh, k, h, w, cin,
+                 F, cdtype):
+    """ONE phase's fwd recompute: (a32, b32, pre (n,h,w,cin) f32, t
+    (rows,cin) cdtype, v (k,5,h,w,F) f32 tanh output). Called per phase so
+    only one phase's temporaries are ever live — materializing all four at
+    once (~4x the working set) overflows scoped VMEM at the chosen k."""
     n = k * 5
     rows = n * h * w
-    outs = []
-    for a_ref, b_ref in zip(b0, y10):
-        a32 = a_ref[...].reshape(n, h, w, cin).astype(jnp.float32)
-        b32 = b_ref[...].reshape(n, h, w, cin).astype(jnp.float32)
-        pre = a32 * mul1 + add1 + b32 * mul2 + add2
-        t = jnp.maximum(pre, 0.0).astype(cdtype).reshape(rows, cin)
-        z = jnp.dot(t, Wh[...], preferred_element_type=jnp.float32)
-        z = (z + bh[0].astype(jnp.float32)).astype(cdtype).astype(jnp.float32)
-        v = jnp.tanh(z).reshape(k, 5, h, w, F)
-        outs.append((a32, b32, pre, t, v))
-    return outs
+    a32 = a_ref[...].reshape(n, h, w, cin).astype(jnp.float32)
+    b32 = b_ref[...].reshape(n, h, w, cin).astype(jnp.float32)
+    pre = a32 * mul1 + add1 + b32 * mul2 + add2
+    t = jnp.maximum(pre, 0.0).astype(cdtype).reshape(rows, cin)
+    z = jnp.dot(t, Wh[...], preferred_element_type=jnp.float32)
+    z = (z + bh[0].astype(jnp.float32)).astype(cdtype).astype(jnp.float32)
+    v = jnp.tanh(z).reshape(k, 5, h, w, F)
+    return a32, b32, pre, t, v
 
 
-def _pole_means(v_ee, v_oq, k, h, w, F):
-    """North/south pole vertices from the output phases (ops/vertices.py:
+def _pole_mean(v, k, h, w, F, south):
+    """One pole's (k, F) vertex mean from its output phase (ops/vertices.py:
     north = mean_c grid[c,0,0] = mean_c ee[c,0,0]; south = mean_c
-    grid[c,h-1,w-1] = mean_c oq[c,hp-1,wp-1]) -> (k, F) each."""
+    grid[c,h-1,w-1] = mean_c oq[c,hp-1,wp-1])."""
     fifth = jnp.asarray(0.2, jnp.float32)
-    pn = sum(v_ee[:, c, 0, 0, :] for c in range(5)) * fifth
-    ps = sum(v_oq[:, c, h - 1, w - 1, :] for c in range(5)) * fifth
-    return pn, ps
+    if south:
+        return sum(v[:, c, h - 1, w - 1, :] for c in range(5)) * fifth
+    return sum(v[:, c, 0, 0, :] for c in range(5)) * fifth
 
 
 def _phmse_fwd_kernel(*refs, h, w, k, cin, F, cdtype):
@@ -1655,8 +1656,6 @@ def _phmse_fwd_kernel(*refs, h, w, k, cin, F, cdtype):
     Wh, bh = refs[12], refs[13]
     tpack_ref, tpole_ref = refs[14], refs[15]
     sse_ref = refs[16]
-    core = _phmse_core(b0, y10, mul1, add1, mul2, add2, Wh, bh, k, h, w, cin,
-                       F, cdtype)
     tpack = tpack_ref[...].astype(jnp.float32)
     # Mosaic-safe reduction discipline: real Mosaic rejects both rank-1 (k,)
     # vectors (layout.h SIGABRT) and stepwise sublane reductions of the 5-D
@@ -1670,11 +1669,17 @@ def _phmse_fwd_kernel(*refs, h, w, k, cin, F, cdtype):
     sample_id = jax.lax.broadcasted_iota(jnp.int32, (k, rows), 0)
     S = (sample_of_row == sample_id).astype(jnp.float32)  # (k, rows)
     sseF = jnp.zeros((k, F), jnp.float32)
-    for p, (_, _, _, _, v) in enumerate(core):
+    pn = ps = None
+    for p in range(4):
+        _, _, _, _, v = _phmse_phase(b0[p], y10[p], mul1, add1, mul2, add2,
+                                     Wh, bh, k, h, w, cin, F, cdtype)
         d = v - tpack[..., p * F : (p + 1) * F]
         sseF += jnp.dot(S, (d * d).reshape(rows, F),
                         preferred_element_type=jnp.float32)
-    pn, ps = _pole_means(core[0][4], core[3][4], k, h, w, F)
+        if p == 0:
+            pn = _pole_mean(v, k, h, w, F, south=False)
+        if p == 3:
+            ps = _pole_mean(v, k, h, w, F, south=True)
     tp = tpole_ref[...].reshape(k, 2 * F).astype(jnp.float32)
     dn = pn - tp[:, 0:F]
     ds_ = ps - tp[:, F : 2 * F]
@@ -1710,14 +1715,20 @@ def _phmse_bwd_kernel(*refs, h, w, k, cin, F, cdtype, out_dtype):
 
     n = k * 5
     rows = n * h * w
-    core = _phmse_core(b0, y10, mul1, add1, mul2, add2, Wh, bh, k, h, w, cin,
-                       F, cdtype)
     tpack = tpack_ref[...].astype(jnp.float32)
     tp = tpole_ref[...].reshape(k, 2 * F).astype(jnp.float32)
     # (k, 1) — rank-2 throughout; rank-1 (k,) arrays abort real Mosaic
     g2 = g_ref[...].reshape(k, 8)[:, 0:1].astype(jnp.float32)
     gb = g2.reshape(k, 1, 1, 1, 1)
-    pn, ps = _pole_means(core[0][4], core[3][4], k, h, w, F)
+    # pre-pass: pole means need the p=0/p=3 outputs before the per-phase
+    # grad loop; recompute those two phases (cheap head matmuls) instead of
+    # keeping all four phases' temporaries live at once (VMEM)
+    pn = _pole_mean(
+        _phmse_phase(b0[0], y10[0], mul1, add1, mul2, add2, Wh, bh, k, h, w,
+                     cin, F, cdtype)[4], k, h, w, F, south=False)
+    ps = _pole_mean(
+        _phmse_phase(b0[3], y10[3], mul1, add1, mul2, add2, Wh, bh, k, h, w,
+                     cin, F, cdtype)[4], k, h, w, F, south=True)
     # pole-mean adjoint: each contributing corner cell gets 1/5 of the pole
     # cotangent (the SAME recipe as _pad_transpose's pole handling)
     dpole_n = (g2 * 2.0 * (pn - tp[:, 0:F]))[:, None, :] * 0.2  # (k,1,F)
@@ -1729,7 +1740,10 @@ def _phmse_bwd_kernel(*refs, h, w, k, cin, F, cdtype, out_dtype):
     dm1_p = jnp.zeros((cin,), jnp.float32)
     da1_p = jnp.zeros((cin,), jnp.float32)
     dm2_p = jnp.zeros((cin,), jnp.float32)
-    for p, (a32, b32, pre, t, v) in enumerate(core):
+    for p in range(4):
+        a32, b32, pre, t, v = _phmse_phase(
+            b0[p], y10[p], mul1, add1, mul2, add2, Wh, bh, k, h, w, cin, F,
+            cdtype)
         dv = gb * 2.0 * (v - tpack[..., p * F : (p + 1) * F])
         if p == 0:  # ee corner cells feed the north pole (pad, not scatter)
             corner = jnp.broadcast_to(dpole_n[:, :, None, None, :], (k, 5, 1, 1, F))
@@ -1767,13 +1781,29 @@ def _phmse_bwd_kernel(*refs, h, w, k, cin, F, cdtype, out_dtype):
     da2_ref[...] += da1_p.reshape(1, cin)
 
 
+def _phmse_choose_k(B, h, w, cin, F, fwd):
+    """MSE-head k: `_head_k` + the lane-padded packed target, with an env
+    override (GENICONET_PHMSE_K) for hardware bisection of the runtime
+    crash under investigation (scripts/probe_phmse_micro.py)."""
+    import os
+
+    v = os.environ.get("GENICONET_PHMSE_K", "")
+    if v:
+        k = int(v)
+        while B % k:
+            k -= 1
+        return max(k, 1)
+    return _head_k(B, h, w, cin, F, fwd=fwd, extra_per_cell_bytes=512)
+
+
 @jax.custom_vjp
 def _phmse(b0, y10, mul1, add1, mul2, add2, Wh, bh, tpack, tpoles):
     h, w = b0[0].shape[2], b0[0].shape[3]
     B, cin = b0[0].shape[0], b0[0].shape[-1]
     F = Wh.shape[-1]
     cdtype = b0[0].dtype
-    k = _head_k(B, h, w, cin, F, fwd=True)
+    # +128-lane f32 packed target resident per cell vs the plain head
+    k = _phmse_choose_k(B, h, w, cin, F, fwd=True)
     kernel = functools.partial(
         _phmse_fwd_kernel, h=h, w=w, k=k, cin=cin, F=F, cdtype=cdtype
     )
@@ -1811,7 +1841,8 @@ def _phmse_bwd(res, g):
     B, cin = b0[0].shape[0], b0[0].shape[-1]
     F = Wh.shape[-1]
     cdtype = b0[0].dtype
-    k = _head_k(B, h, w, cin, F, fwd=False)
+    # +128-lane f32 packed target resident per cell vs the plain head
+    k = _phmse_choose_k(B, h, w, cin, F, fwd=False)
     kernel = functools.partial(
         _phmse_bwd_kernel, h=h, w=w, k=k, cin=cin, F=F, cdtype=cdtype,
         out_dtype=cdtype,

@@ -147,16 +147,17 @@ class Trainer:
         self.factors = cfg.loss_factors
         self.is_vae = cfg.model.is_vae
         # AE + pos-only factors + fused kernels: route the loss through the
-        # head+MSE kernel (the reconstruction never reaches HBM). Off by
-        # default on hardware until the phmse kernel's runtime INTERNAL on
-        # the tunneled backend is root-caused (scripts/probe_phmse.py);
-        # GENICONET_FUSED_MSE=1 opts in.
+        # head+MSE kernel (the reconstruction never reaches HBM). Hardware-
+        # validated fwd+bwd at the headline shapes (scripts/probe_phmse.py;
+        # the earlier "runtime INTERNAL" was the probe jit-closing over the
+        # packed target — an HLO-literal inlining crash of the tunneled
+        # backend, not the kernel). GENICONET_FUSED_MSE=0 opts out.
         self._fused_mse = (
             not self.is_vae
             and self.model.use_pallas
             and self.factors.nor == 0.0
             and self.factors.lap == 0.0
-            and os.environ.get("GENICONET_FUSED_MSE", "0") == "1"
+            and os.environ.get("GENICONET_FUSED_MSE", "1") == "1"
         )
         self._jit_train_step = jax.jit(
             partial(self._train_step, with_gflow=False), donate_argnums=(0,)

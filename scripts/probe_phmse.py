@@ -40,18 +40,25 @@ def main():
     tpack = mk(14, B, 5, h, w, 4 * F) * 0.3
     tpoles = mk(15, B, 2 * F) * 0.3
 
-    def loss(b0, y10, affines, Wh, bh):
+    # tpack/tpoles MUST be arguments: a jit-closed-over multi-MB array is
+    # inlined as an HLO literal, which the tunneled backend accepts at
+    # compile but kills the device at execution (INTERNAL) — this probe's
+    # original closure was itself the "phmse runtime crash" under
+    # investigation (micro-bisect: the kernel body, specs, cost estimate,
+    # and jit context all pass individually).
+    def loss(b0, y10, affines, Wh, bh, tpack, tpoles):
         sse = pk.fused_pair_head_mse(b0, y10, affines, Wh, bh, tpack, tpoles)
         return jnp.sum(sse)
 
     print("fwd compile+run...", flush=True)
-    v = float(jax.device_get(jax.jit(loss)(b0, y10, affines, Wh, bh)))
+    v = float(jax.device_get(
+        jax.jit(loss)(b0, y10, affines, Wh, bh, tpack, tpoles)))
     assert np.isfinite(v), v
     print(f"fwd OK: sse_total={v:.3f}", flush=True)
 
     print("bwd compile+run...", flush=True)
     g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(
-        b0, y10, affines, Wh, bh
+        b0, y10, affines, Wh, bh, tpack, tpoles
     )
     vals = [float(jnp.sum(jnp.abs(l.astype(jnp.float32))))
             for l in jax.device_get(jax.tree.leaves(g))]
