@@ -44,6 +44,7 @@ def build():
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.use_pallas = True
     cfg.train.log_grad_freq = 0
+    cfg.train.log_freq = 1000  # rare periodic sync: time the loop, not RTTs
     ds = synthetic_dataset(5, 180, seed=0)  # 5 batches/epoch for the host loop
     trainer = Trainer(cfg)
     state = trainer.init_state(ds.inputs[:1])
@@ -57,22 +58,26 @@ def main():
     enable_compilation_cache()
     print(f"devices: {jax.devices()}", file=sys.stderr)
     trainer, state, batches = build()
-    x, y, wt = next(iter(batches.epoch()))
+    tables = trainer.prepared_tables(batches)
+    idx, wt0 = next(iter(batches.epoch_indices()))
 
     # warmup / compile. NOTE: sync via device_get — block_until_ready does
     # not reliably wait on tunneled backends.
     t0 = time.perf_counter()
-    state, metrics, _, _ = trainer._jit_train_step(state, x, y, wt, 0)
+    state, metrics, _, _ = trainer._jit_train_step_gather(
+        state, tables, idx, wt0, 0)
     float(jax.device_get(metrics["total"]))
     compile_s = time.perf_counter() - t0
     print(f"compile+first step: {compile_s:.1f}s", file=sys.stderr)
 
-    # (a) resident-batch: dispatch a pipelined window, hard-sync on the final
-    # loss. Excludes host slicing/device_put — pure device step time.
+    # (a) resident-batch: dispatch a pipelined window of the real hot step
+    # (in-jit gather from pre-split/pre-packed HBM tables), hard-sync on the
+    # final loss. Only the 36-int index array crosses the host per step.
     steps = 30
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics, _, _ = trainer._jit_train_step(state, x, y, wt, 0)
+        state, metrics, _, _ = trainer._jit_train_step_gather(
+            state, tables, idx, wt0, 0)
     loss = float(jax.device_get(metrics["total"]))
     dt = time.perf_counter() - t0
     resident = 36 * steps / dt
@@ -82,18 +87,22 @@ def main():
         file=sys.stderr,
     )
 
-    # (b) epoch loop: the real batching pipeline. The dataset is under the
-    # device-resident budget, so each batch is an on-device HBM gather —
-    # only the 36-int index array crosses the host boundary per step.
+    # (b) epoch loop: the real batching pipeline (trainer.train_epoch). The
+    # dataset is under the device-resident budget, so the batch gather (from
+    # pre-phase-split inputs + pre-packed targets) happens INSIDE the jitted
+    # step — one dispatch per step, only the 36-int index array crosses the
+    # host boundary.
+    state, _ = trainer.train_epoch(state, batches, 0)  # warmup/compile
     epochs = 6
-    n_meshes = 0
+    n_meshes = epochs * (len(batches) * 36)
     t0 = time.perf_counter()
     for _ in range(epochs):
-        for xb, yb, wb in batches.epoch():
-            state, metrics, _, _ = trainer._jit_train_step(state, xb, yb, wb, 0)
-            n_meshes += xb.shape[0]
-    loss = float(jax.device_get(metrics["total"]))
+        state, info = trainer.train_epoch(state, batches, 0)
+    # hard sync on the final state (train_epoch's own periodic metric sync
+    # is cadenced by the global step, rare at log_freq=1000)
+    float(jax.device_get(state.step))
     dt = time.perf_counter() - t0
+    loss = (info.get("last") or {}).get("total", float("nan"))
     epoch_loop = n_meshes / dt
     print(
         f"epoch-loop (device-resident gather batching): {n_meshes} meshes in "
@@ -118,14 +127,39 @@ def main():
     def _decode(vars_, zz):
         return model.apply(vars_, zz, train=False, method=model.decode)
 
-    jax.device_get(_decode(variables, z))  # compile
+    out0 = _decode(variables, z)
+    jax.device_get(out0)  # compile + settle
+    # (c1) end-to-end per-call latency: dispatch + device + host sync. On the
+    # tunneled backend this includes a full network round trip per call.
     lat = []
     for _ in range(100):
         t0 = time.perf_counter()
         jax.device_get(_decode(variables, z))
         lat.append(time.perf_counter() - t0)
     p50_ms = float(_np.median(lat) * 1e3)
-    print(f"p50 single-mesh decode latency: {p50_ms:.3f} ms", file=sys.stderr)
+    # (c2) the sync round trip alone: device_get of an already-computed tiny
+    # buffer. On a local host this is ~0; over the tunnel it is the network
+    # RTT that dominates (c1).
+    tiny = _decode(variables, z)[0, 0, 0, :1]
+    jax.device_get(tiny)
+    rtt = []
+    for _ in range(100):
+        t0 = time.perf_counter()
+        jax.device_get(tiny)
+        rtt.append(time.perf_counter() - t0)
+    rtt_ms = float(_np.median(rtt) * 1e3)
+    # (c3) device+dispatch time per decode: 100 chained calls, one sync.
+    t0 = time.perf_counter()
+    for _ in range(100):
+        o = _decode(variables, z)
+    jax.device_get(o)
+    dev_ms = (time.perf_counter() - t0 - _np.median(rtt)) / 100 * 1e3
+    print(
+        f"p50 single-mesh decode latency: {p50_ms:.3f} ms end-to-end "
+        f"(sync RTT alone {rtt_ms:.3f} ms; device+dispatch {dev_ms:.3f} "
+        f"ms/decode pipelined)",
+        file=sys.stderr,
+    )
 
     vs = resident / BASELINE_MESHES_PER_SEC
     print(
@@ -138,6 +172,8 @@ def main():
                 "epoch_loop_value": round(epoch_loop, 2),
                 "target_value": round(TARGET_5X, 2),
                 "p50_decode_ms": round(p50_ms, 3),
+                "decode_sync_rtt_ms": round(rtt_ms, 3),
+                "decode_device_ms": round(dev_ms, 3),
                 "compile_first_step_s": round(compile_s, 1),
                 "note": "value=resident-batch step; epoch_loop_value = full "
                         "epoch loop with the device-resident gather pipeline "

@@ -127,11 +127,13 @@ class Batches:
             return jax.device_put(arr)
         return jax.device_put(arr, self.sharding)
 
-    def epoch(self) -> Iterator[tuple]:
-        """Yield (inputs, targets, weights) for one epoch.
+    def epoch_indices(self) -> Iterator[tuple]:
+        """Yield (idx, wt) HOST arrays for one epoch.
 
-        weights is (B,) float32 — 1.0 for real samples, 0.0 for padding
-        (padding only appears in the tail batch under sharding).
+        The fused-dispatch path: a trainer that holds the device tables
+        (``device_tables()``) gathers ``inputs[idx]`` INSIDE its jitted step,
+        so one batch = one dispatch (the 3-dispatch gather/put/step chain
+        costs ~2 ms/step of host latency on the tunneled backend).
         """
         n = len(self.ds)
         order = np.arange(n)
@@ -140,8 +142,7 @@ class Batches:
         self._epoch += 1
         bs = self.batch_size
         nb = len(self)
-
-        def make(i):
+        for i in range(nb):
             idx = order[i * bs : (i + 1) * bs]
             if len(idx) < bs and self.sharding is not None:
                 if self.shuffle:
@@ -164,6 +165,22 @@ class Batches:
                     # padded rows repeat sample 0; wt=0 masks them in the loss
                     idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
                     wt = np.concatenate([wt, np.zeros(pad, np.float32)])
+            yield idx, wt
+
+    def device_tables(self):
+        """(dev_inputs, dev_targets) for in-jit gathering (device-resident)."""
+        di, dt, _ = self._device_tables()
+        return di, dt
+
+    def epoch(self) -> Iterator[tuple]:
+        """Yield (inputs, targets, weights) for one epoch.
+
+        weights is (B,) float32 — 1.0 for real samples, 0.0 for padding
+        (padding only appears in the tail batch under sharding).
+        """
+
+        def make(pair):
+            idx, wt = pair
             if self.device_resident:
                 di, dt, gather = self._device_tables()
                 x, y = gather(di, dt, idx)  # on-device gather; only idx moves
@@ -173,8 +190,9 @@ class Batches:
             return self._place(x), self._place(y), self._place(wt)
 
         # one-deep prefetch
-        nxt = make(0) if nb else None
-        for i in range(nb):
-            cur = nxt
-            nxt = make(i + 1) if i + 1 < nb else None
+        it = self.epoch_indices()
+        nxt = next(it, None)
+        while nxt is not None:
+            cur = make(nxt)
+            nxt = next(it, None)
             yield cur

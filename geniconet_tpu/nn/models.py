@@ -72,18 +72,24 @@ class _Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        """``x`` is a chart-split grid ``(B, 5, H, W, C)`` or its 4-tuple of
+        parity phases (the device-resident pipeline pre-splits inputs once,
+        so the per-step phase slice of the raw input vanishes)."""
         import math
 
         from geniconet_tpu.ops.pallas.phase_kernel import (
             fused_phase_conv_s1,
             phase_vmem_ok,
         )
-        from geniconet_tpu.ops.phase import phase_split
+        from geniconet_tpu.ops.phase import phase_merge, phase_split
 
         kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_pallas=self.use_pallas)
         bn = dict(axis_name=self.axis_name, dtype=self.dtype)
         s = self.subdivisions
         w0 = self.widths[0]
+        phases_in = isinstance(x, (tuple, list))
+        ph2, pw2 = (x[0].shape[2], x[0].shape[3]) if phases_in else (
+            x.shape[2] // 2, x.shape[3] // 2)
         # bn_in-apply + relu become down0's first-kernel prologue on the
         # fused path (the activated s-level tensor never reaches HBM)
         from geniconet_tpu.nn.layers import pallas_block_enabled
@@ -93,8 +99,7 @@ class _Encoder(nn.Module):
             and pallas_block_enabled("conv_in")
             and s >= 2
             and len(self.widths) > 1
-            and phase_vmem_ok(x.shape[2] // 2, x.shape[3] // 2, w0,
-                              self.widths[1], n_sets=2)
+            and phase_vmem_ok(ph2, pw2, w0, self.widths[1], n_sets=2)
         )
         if fuse_in:
             # conv_in runs in phase form: the input's phase split costs a
@@ -103,8 +108,9 @@ class _Encoder(nn.Module):
             # tensor is never interleaved or relayouted in HBM (round-3
             # trace: the standard-layout form paid ~0.56 ms/step in copies)
             conv_in = IcoConvS2S(w0, s, stride=1, name="conv_in", **kw)
-            t_in, b_in = conv_in(x, get_params=True)
-            xp = phase_split(x.astype(self.dtype))
+            t_in, b_in = conv_in(x[0] if phases_in else x, get_params=True)
+            xp = (tuple(p.astype(self.dtype) for p in x) if phases_in
+                  else phase_split(x.astype(self.dtype)))
             if train:
                 x, st = fused_phase_conv_s1(
                     xp, t_in, b_in, self.corner_mode, with_stats=True,
@@ -117,6 +123,8 @@ class _Encoder(nn.Module):
                 {"stats": st, "count": cnt, "features": w0}
             )
         else:
+            if phases_in:
+                x = phase_merge(x)
             x = IcoConvS2S(w0, s, stride=1, name="conv_in", **kw)(x)
             x = IcoBatchNorm(use_running_average=not train, name="bn_in", **bn)(x)
             x = nn.relu(x)
@@ -248,8 +256,11 @@ class IcoAE(nn.Module):
         )
 
     def encode(self, x, train: bool = False):
-        """grid (B, 5·2^s, 2^(s+1), 3) -> latent (B, 5·2^(s-3), 2^(s-2), w2)."""
-        xc = split_charts(x, self.subdivisions)
+        """grid (B, 5·2^s, 2^(s+1), 3) -> latent (B, 5·2^(s-3), 2^(s-2), w2).
+
+        ``x`` may also be a 4-tuple of pre-split parity phases
+        (B, 5, 2^(s-1), 2^s, 3) — the device-resident fast path."""
+        xc = x if isinstance(x, (tuple, list)) else split_charts(x, self.subdivisions)
         z = self.encoder(xc, train=train)
         return merge_charts(z)
 
@@ -263,8 +274,9 @@ class IcoAE(nn.Module):
         against a packed target (ops/vertices.pack_target_phases) — the
         loss-fused AE path: on the fused route the reconstruction never
         reaches HBM (fused_pair_head_mse). Equals
-        sum((grid_to_vertices(self(x)) - target_pos)**2) per sample."""
-        xc = split_charts(x, self.subdivisions)
+        sum((grid_to_vertices(self(x)) - target_pos)**2) per sample.
+        ``x`` may be a grid or a 4-tuple of pre-split phases (see encode)."""
+        xc = x if isinstance(x, (tuple, list)) else split_charts(x, self.subdivisions)
         z = self.encoder(xc, train=train)
         return self.decoder(z, train=train, target=(tpack, tpoles))
 

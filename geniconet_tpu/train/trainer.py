@@ -169,6 +169,19 @@ class Trainer:
         self._jit_train_step_gflow = jax.jit(
             partial(self._train_step, with_gflow=True), donate_argnums=(0,)
         )
+        # fused-dispatch variants for device-resident datasets: the batch
+        # gather happens INSIDE the jitted step, so one batch = one dispatch
+        # (the separate gather/weight-put/step chain costs ~2 ms/step of host
+        # dispatch latency on the tunneled backend).
+        self._jit_train_step_gather = jax.jit(
+            partial(self._train_step_gather, with_gflow=False),
+            donate_argnums=(0,),
+        )
+        self._jit_train_step_gather_gflow = jax.jit(
+            partial(self._train_step_gather, with_gflow=True),
+            donate_argnums=(0,),
+        )
+        self._jit_eval_step_gather = jax.jit(self._eval_step_gather)
         self._jit_eval_step = jax.jit(self._eval_step)
         self._jit_logmesh = jax.jit(self._logmesh_fwd)
         self._jit_encode = jax.jit(self._encode_fwd)
@@ -240,7 +253,10 @@ class Trainer:
             from geniconet_tpu.losses.p2p import _wmean
             from geniconet_tpu.ops.vertices import pack_target_phases
 
-            tpack, tpoles = pack_target_phases(y, self.s)
+            if isinstance(y, tuple):
+                tpack, tpoles = y  # pre-packed by prepared_tables
+            else:
+                tpack, tpoles = pack_target_phases(y, self.s)
             apply = partial(
                 self.model.apply, train=train, method=self.model.recon_sse
             )
@@ -332,6 +348,61 @@ class Trainer:
         )
         return new_state, metrics, misc, gflow
 
+    def _gather_batch(self, tables, idx):
+        if "xph" in tables:
+            # pre-split phases + pre-packed targets (fused-MSE fast path):
+            # the per-step phase slice of the raw input and the target pack
+            # (~0.7 ms/step of copies+fusions in the round-3 trace) were done
+            # ONCE at table-preparation time.
+            x = tuple(p[idx] for p in tables["xph"])
+            y = (tables["tpack"][idx], tables["tpoles"][idx])
+            return x, y
+        return tables["x"][idx], tables["y"][idx]
+
+    def _train_step_gather(self, state: TrainState, tables, idx, wt, epoch,
+                           with_gflow=False):
+        x, y = self._gather_batch(tables, idx)
+        return self._train_step(state, x, y, wt, epoch, with_gflow=with_gflow)
+
+    def _eval_step_gather(self, state: TrainState, tables, idx, wt, epoch):
+        x, y = self._gather_batch(tables, idx)
+        return self._eval_step(state, x, y, wt, epoch)
+
+    def prepared_tables(self, batches: Batches):
+        """Device tables for the in-jit gather path. For the AE fused-MSE
+        config (single-chip), inputs are pre-phase-split and targets
+        pre-packed ONCE so neither op runs in the hot step."""
+        # cache lives on the Batches object (an id()-keyed dict could alias
+        # a freed Batches with a new one at the same address), keyed by mode
+        # (trainers with different loss configs may share a Batches)
+        di, dt = batches.device_tables()
+        prep_mode = (
+            self._fused_mse
+            and batches.sharding is None
+            and di.nbytes + dt.nbytes <= 1024**3
+        )
+        cache = getattr(batches, "_gn_prepared_tables", None)
+        if cache is not None and cache[0] == (prep_mode, self.s):
+            return cache[1]
+        if prep_mode:
+            from geniconet_tpu.ops.conv import split_charts
+            from geniconet_tpu.ops.phase import phase_split
+            from geniconet_tpu.ops.vertices import pack_target_phases
+
+            s = self.s
+
+            @jax.jit
+            def prep(di, dt):
+                xph = phase_split(split_charts(di, s))
+                tpack, tpoles = pack_target_phases(dt, s)
+                return {"xph": xph, "tpack": tpack, "tpoles": tpoles}
+
+            tables = prep(di, dt)
+        else:
+            tables = {"x": di, "y": dt}
+        batches._gn_prepared_tables = ((prep_mode, self.s), tables)
+        return tables
+
     def _eval_step(self, state: TrainState, x, y, wt, epoch):
         rng = jax.random.fold_in(state.rng, 0x7FFFFFFF)
         if self._shard_map:
@@ -391,21 +462,38 @@ class Trainer:
         log_freq = max(1, self.cfg.train.log_freq)
         last_metrics = None
         gf_freq = self.cfg.train.log_grad_freq
-        for i, (x, y, wt) in enumerate(batches.epoch()):
+        gather = batches.device_resident
+        if gather:
+            tables = self.prepared_tables(batches)
+            it = batches.epoch_indices()
+        else:
+            it = batches.epoch()
+        for i, batch in enumerate(it):
             want_gflow = (
                 self.logger is not None
                 and gf_freq
                 and self._host_step % gf_freq == 0
             )
-            step_fn = self._jit_train_step_gflow if want_gflow else self._jit_train_step
-            state, metrics, misc, gflow = step_fn(state, x, y, wt, epoch)
+            if gather:
+                idx, wt = batch
+                step_fn = (self._jit_train_step_gather_gflow if want_gflow
+                           else self._jit_train_step_gather)
+                state, metrics, misc, gflow = step_fn(state, tables, idx, wt, epoch)
+            else:
+                x, y, wt = batch
+                step_fn = (self._jit_train_step_gflow if want_gflow
+                           else self._jit_train_step)
+                state, metrics, misc, gflow = step_fn(state, x, y, wt, epoch)
             self._host_step += 1
             n += 1
             if self.is_vae and misc is not None:
                 self.last_misc = misc
-            if i % log_freq == 0:
+            if (self._host_step - 1) % log_freq == 0:
                 # periodic hard sync doubles as the NaN guard (works with or
-                # without a logger; detect_anomaly parity, run.py:237)
+                # without a logger; detect_anomaly parity, run.py:237).
+                # Cadenced by the GLOBAL step, not the epoch-local index —
+                # an epoch-local `i % log_freq` forces a host sync at the
+                # top of every epoch, which serializes short epochs.
                 host = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 last_metrics = host
                 if not host.get("finite", 1.0):
@@ -428,8 +516,19 @@ class Trainer:
         # accumulate weighted metric sums ON DEVICE; one host sync at the end
         # (a per-batch device_get would serialize the eval loop on TPU)
         total, count = None, None
-        for x, y, wt in batches.epoch():
-            metrics, b = self._jit_eval_step(state, x, y, wt, epoch)
+        if batches.device_resident:
+            tables = self.prepared_tables(batches)
+            it = (
+                (self._jit_eval_step_gather, (state, tables, idx, wt, epoch))
+                for idx, wt in batches.epoch_indices()
+            )
+        else:
+            it = (
+                (self._jit_eval_step, (state, x, y, wt, epoch))
+                for x, y, wt in batches.epoch()
+            )
+        for fn, args in it:
+            metrics, b = fn(*args)
             scaled = {k: v * b for k, v in metrics.items()}
             total = scaled if total is None else {k: total[k] + scaled[k] for k in scaled}
             count = b if count is None else count + b

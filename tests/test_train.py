@@ -132,3 +132,28 @@ def test_restore_filtered_partial():
     assert matched == 1 and total == 2
     np.testing.assert_array_equal(merged["a"]["x"], 1.0)
     np.testing.assert_array_equal(merged["b"], 0.0)
+
+
+def test_device_resident_gather_matches_streaming(tmp_path):
+    """The fused-dispatch path (batch gather inside the jitted step,
+    pipeline.epoch_indices + trainer._jit_train_step_gather) must be
+    bit-identical to the streaming epoch() path: same train metrics, same
+    validate averages, same final params."""
+    ds = synthetic_dataset(3, 12, seed=0)
+
+    def run(resident):
+        cfg = small_cfg(tmp_path / ("r" if resident else "s"), epochs=1)
+        trainer = Trainer(cfg)
+        state = trainer.init_state(ds.inputs[:1], seed=1)
+        trn = Batches(ds, 8, shuffle=True, seed=3, device_resident=resident)
+        val = Batches(ds, 8, shuffle=False, device_resident=resident)
+        for ep in range(2):
+            state, info = trainer.train_epoch(state, trn, ep)
+        avg = trainer.validate(state, val, 0)
+        return info["last"], avg, state.params
+
+    (m1, v1, p1), (m2, v2, p2) = run(True), run(False)
+    assert m1 == m2
+    assert v1 == v2
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
