@@ -105,8 +105,9 @@ def _batched_distances(cfg: Config, pred_v: np.ndarray, ref_v: np.ndarray,
 
 def _eval_vertex_batches(cfg: Config, infer, inputs: np.ndarray, names,
                          targets: np.ndarray, out_dir: str | None):
-    """Shared test/decode loop: fixed-shape batches (tail zero-padded so the
-    jit never re-specializes on a ragged shape — reference gap VERDICT weak#5),
+    """Shared test/decode loop: fixed-shape batches (tail padded with a
+    repeat of row 0 — `_pad_to` — so the jit never re-specializes on a
+    ragged shape AND the padded rows stay off degenerate-geometry paths),
     batched per-mesh distances, optional .off dump."""
     s = cfg.model.subdivisions
     faces_np = ico.get_ico_faces(s)

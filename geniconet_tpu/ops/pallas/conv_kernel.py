@@ -276,16 +276,26 @@ def _pallas_forward(x, taps, bias, subdivisions, corner_mode, stride=1,
 # ---------------------------------------------------------------------------
 
 
-def _dtaps_kernel(*refs, h, w, corner_mode, stride, k, has_act):
+def _dtaps_kernel(*refs, h, w, corner_mode, stride, k, has_act,
+                  with_stats=False):
     """dL/dtaps[t] = P_slice(t)^T · g, accumulated across the batch grid.
-    refs: x, [mul, add], g -> out."""
+    refs: x, [mul, add], g, [y, gs] -> out. With with_stats the BatchNorm
+    stats-cotangent fold (g_eff = g + gs0 + 2·gs1·y) runs in-kernel."""
     x_ref = refs[0]
     idx = 1
     xv = x_ref[...]
     if has_act:
         xv = _act_apply(xv, refs[1][0], refs[2][0])
         idx = 3
-    g_ref, o_ref = refs[idx], refs[idx + 1]
+    g_ref = refs[idx]
+    idx += 1
+    g = g_ref[...]
+    if with_stats:
+        y_ref, gs_ref = refs[idx], refs[idx + 1]
+        idx += 2
+        g = _geff_one(g, y_ref[...], gs_ref[0].astype(jnp.float32),
+                      gs_ref[1].astype(jnp.float32), g.dtype)
+    o_ref = refs[idx]
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -294,7 +304,7 @@ def _dtaps_kernel(*refs, h, w, corner_mode, stride, k, has_act):
 
     ho, wo = h // stride, w // stride
     rows = k * 5 * ho * wo
-    g = g_ref[...].reshape(rows, g_ref.shape[-1]).astype(jnp.float32)
+    g = g.reshape(rows, g_ref.shape[-1]).astype(jnp.float32)
     P = jnp.concatenate(
         [_build_padded(xv[i], h, w, corner_mode) for i in range(k)], axis=0
     )
@@ -398,21 +408,45 @@ def _conv_transpose_dP(gm, w_ref, h, w, stride, k, cin):
     return dP
 
 
-def _dx_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act):
+def _dx_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act,
+               with_stats=False):
     """dx = padᵀ(convᵀ(g)): build dP = Σ_t slice_t ← g·W_tᵀ, then accumulate
-    every pad-source position back via `_pad_transpose`. refs: g, taps,
-    [x, mul, add] -> dx, [dmul, dadd]. With act the result is gated by the
-    ReLU mask and scaled by mul (dL/dx of x' = relu(x·mul+add))."""
-    g_ref, w_ref = refs[0], refs[1]
+    every pad-source position back via `_pad_transpose`. refs: g, [y, gs],
+    taps, [x, mul, add] -> dx, [gsum], [dmul, dadd]. With with_stats the
+    stats-cotangent fold runs in-kernel and Σg_eff (the bias grad) is
+    emitted. With act the result is gated by the ReLU mask and scaled by mul
+    (dL/dx of x' = relu(x·mul+add))."""
+    g_ref = refs[0]
+    idx = 1
+    g = g_ref[...]
+    if with_stats:
+        y_ref, gs_ref = refs[idx], refs[idx + 1]
+        idx += 2
+        g = _geff_one(g, y_ref[...], gs_ref[0].astype(jnp.float32),
+                      gs_ref[1].astype(jnp.float32), g.dtype)
+    w_ref = refs[idx]
+    idx += 1
     if has_act:
-        x_ref, mul_ref, add_ref = refs[2], refs[3], refs[4]
-        o_ref, dmul_ref, dadd_ref = refs[5], refs[6], refs[7]
-    else:
-        o_ref = refs[2]
+        x_ref, mul_ref, add_ref = refs[idx], refs[idx + 1], refs[idx + 2]
+        idx += 3
+    o_ref = refs[idx]
+    idx += 1
+    first = pl.program_id(0) == 0
     cout = g_ref.shape[-1]
     cin = w_ref.shape[1]
+    if with_stats:
+        gsum_ref = refs[idx]
+        idx += 1
+
+        @pl.when(first)
+        def _():
+            gsum_ref[...] = jnp.zeros_like(gsum_ref)
+
+        gsum_ref[...] += jnp.sum(
+            g.astype(jnp.float32), axis=(0, 1, 2, 3)
+        ).reshape(1, cout)
     ho, wo = h // stride, w // stride
-    gm = g_ref[...].reshape(k * 5 * ho * wo, cout).astype(jnp.float32)
+    gm = g.reshape(k * 5 * ho * wo, cout).astype(jnp.float32)
     n = k * 5
     dP = _conv_transpose_dP(gm, w_ref, h, w, stride, k, cin)
     dx = _pad_transpose(dP, h=h, w=w, corner_mode=corner_mode, k=k)
@@ -420,12 +454,13 @@ def _dx_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act):
         o_ref[...] = dx.reshape(k, 5, h, w, cin).astype(out_dtype)
         return
     mul, add = mul_ref[0], add_ref[0]
+    dmul_ref, dadd_ref = refs[idx], refs[idx + 1]
     x32 = x_ref[...].reshape(k * 5, h, w, cin).astype(jnp.float32)
     mask = (x32 * mul + add > 0.0).astype(jnp.float32)
     dm = dx * mask
     o_ref[...] = (dm * mul).reshape(k, 5, h, w, cin).astype(out_dtype)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(first)
     def _():
         dmul_ref[...] = jnp.zeros_like(dmul_ref)
         dadd_ref[...] = jnp.zeros_like(dadd_ref)
@@ -586,15 +621,17 @@ def _std_bwd_vmem_ok(subdivisions, cin, cout, B):
     return k * per_sample < 90 * 1024 * 1024
 
 
-def _pallas_dtaps(x, g, subdivisions, corner_mode, stride=1, act=None):
+def _pallas_dtaps(x, g, subdivisions, corner_mode, stride=1, act=None,
+                  y=None, gs=None):
     B = x.shape[0]
     h, w = ico.chart_shape(subdivisions)
     ho, wo = h // stride, w // stride
     cin, cout = x.shape[-1], g.shape[-1]
+    with_stats = y is not None
     k = _choose_k(B, h, w, cin, cout, x.dtype.itemsize)
     kernel = functools.partial(
         _dtaps_kernel, h=h, w=w, corner_mode=corner_mode, stride=stride, k=k,
-        has_act=act is not None,
+        has_act=act is not None, with_stats=with_stats,
     )
     in_specs = [
         pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
@@ -611,6 +648,14 @@ def _pallas_dtaps(x, g, subdivisions, corner_mode, stride=1, act=None):
                      memory_space=pltpu.VMEM)
     )
     args.append(g)
+    if with_stats:
+        in_specs += [
+            pl.BlockSpec((k, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cout), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [y, gs]
     out = pl.pallas_call(
         kernel,
         grid=(B // k,),
@@ -625,25 +670,41 @@ def _pallas_dtaps(x, g, subdivisions, corner_mode, stride=1, act=None):
 
 
 def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype, stride=1,
-               act=None, x=None):
+               act=None, x=None, y=None, gs=None):
+    """Returns (dx, dmul, dadd, gsum) — gsum = Σg_eff (bias grad) when
+    y/gs enable the in-kernel stats fold, else None."""
     B = g.shape[0]
     h, w = ico.chart_shape(subdivisions)
     ho, wo = h // stride, w // stride
     cin, cout = taps.shape[1], g.shape[-1]
+    with_stats = y is not None
     k = _choose_k(B, h, w, cin, cout, g.dtype.itemsize)
     kernel = functools.partial(
         _dx_kernel, h=h, w=w, corner_mode=corner_mode, stride=stride, k=k,
-        out_dtype=out_dtype, has_act=act is not None,
+        out_dtype=out_dtype, has_act=act is not None, with_stats=with_stats,
     )
     in_specs = [
         pl.BlockSpec((k, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    args = [g, taps]
+    args = [g]
+    if with_stats:
+        in_specs += [
+            pl.BlockSpec((k, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cout), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [y, gs]
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    args.append(taps)
     out_specs = [pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, cin), out_dtype)]
+    if with_stats:
+        out_specs.append(pl.BlockSpec((1, cout), lambda b: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, cout), jnp.float32))
     if act is not None:
         in_specs.append(pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
@@ -663,9 +724,14 @@ def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype, stride=1,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*args)
+    idx = 1
+    gsum = None
+    if with_stats:
+        gsum = outs[idx].reshape(cout)
+        idx += 1
     if act is not None:
-        return outs[0], outs[1].reshape(cin), outs[2].reshape(cin)
-    return outs[0], None, None
+        return outs[0], outs[idx].reshape(cin), outs[idx + 1].reshape(cin), gsum
+    return outs[0], None, None, gsum
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -695,13 +761,23 @@ def _bwd(subdivisions, corner_mode, stride, with_stats, res, g):
         )
         dbias = None if bias is None else gsum.astype(bias.dtype)
         return dx, dtaps.astype(x.dtype), dbias, dmul, dadd
-    if with_stats:
+    from geniconet_tpu.ops.pallas.phase_kernel import _kernel_geff_enabled
+
+    fold = with_stats and _kernel_geff_enabled("std")
+    if with_stats and not fold:
         gy = _geff_one(gy, y, gst[0].astype(jnp.float32),
                        gst[1].astype(jnp.float32), gy.dtype)
-    dx, dmul, dadd = _pallas_dx(gy, taps, subdivisions, corner_mode, x.dtype,
-                                stride, act=act, x=x)
-    dtaps = _pallas_dtaps(x, gy, subdivisions, corner_mode, stride, act=act)
-    dbias = None if bias is None else jnp.sum(gy, axis=(0, 1, 2, 3)).astype(bias.dtype)
+    yk = dict(y=y, gs=gst) if fold else {}
+    dx, dmul, dadd, gsum = _pallas_dx(gy, taps, subdivisions, corner_mode,
+                                      x.dtype, stride, act=act, x=x, **yk)
+    dtaps = _pallas_dtaps(x, gy, subdivisions, corner_mode, stride, act=act,
+                          **yk)
+    if bias is None:
+        dbias = None
+    elif gsum is not None:
+        dbias = gsum.astype(bias.dtype)
+    else:
+        dbias = jnp.sum(gy, axis=(0, 1, 2, 3)).astype(bias.dtype)
     return dx, dtaps, dbias, dmul, dadd
 
 

@@ -466,14 +466,25 @@ def _pc_fwd_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype,
 
 
 def _pc_dx_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype,
-                  has_act):
+                  has_act, with_stats):
     """Phase-input conv dx: refs = n_sets groups of len(out_phases) g refs,
-    n_sets taps, [4 raw phases, act mul, add], then 4 dphase outputs and
-    [d_mul, d_add (1, C_in) accumulators]. With act, the returned dphases
-    are w.r.t. the RAW input: dL/dx = dL/dx' · mul · 1{x·mul+add > 0}."""
+    [n_sets groups of y refs, n_sets gs(2,C) refs], n_sets taps, [4 raw
+    phases, act mul, add], then 4 dphase outputs, [n_sets gsum (1, C_out)
+    accumulators], and [d_mul, d_add (1, C_in) accumulators].
+
+    With with_stats, the raw upstream cotangents g are folded with the
+    BatchNorm stats cotangents IN-KERNEL (`_geff_fold`) and the per-set
+    Σg_eff bias gradient is emitted as an accumulator — removing the
+    XLA-side `_stats_geff` pass + `_dbias` reduction (round-3 trace:
+    ~1.5 ms/step across the model). With act, the returned dphases are
+    w.r.t. the RAW input: dL/dx = dL/dx' · mul · 1{x·mul+add > 0}."""
     n_out = len(out_phases)
-    g_groups = [refs[i * n_out : (i + 1) * n_out] for i in range(n_sets)]
+    g_refs_flat = refs[: n_sets * n_out]
     idx = n_sets * n_out
+    if with_stats:
+        y_refs_flat = refs[idx : idx + n_sets * n_out]
+        gs_refs = refs[idx + n_sets * n_out : idx + n_sets * n_out + n_sets]
+        idx += n_sets * n_out + n_sets
     w_refs = refs[idx : idx + n_sets]
     idx += n_sets
     cin = w_refs[0].shape[1]
@@ -482,15 +493,40 @@ def _pc_dx_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype,
         mul, add = refs[idx + 4][0], refs[idx + 5][0]
         idx += 6
     outs = refs[idx : idx + 4]
+    idx += 4
+    first = pl.program_id(0) == 0
+    g_groups = []
+    for si in range(n_sets):
+        g_set = g_refs_flat[si * n_out : (si + 1) * n_out]
+        if with_stats:
+            g_set = _geff_fold(
+                g_set, y_refs_flat[si * n_out : (si + 1) * n_out],
+                gs_refs[si], out_dtype,
+            )
+        g_groups.append(g_set)
+    if with_stats:
+        gsum_refs = refs[idx : idx + n_sets]
+        idx += n_sets
+        for si, g_set in enumerate(g_groups):
+            part = sum(
+                jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3))
+                for g in g_set
+            ).reshape(1, -1)
+
+            @pl.when(first)
+            def _(si=si):
+                gsum_refs[si][...] = jnp.zeros_like(gsum_refs[si])
+
+            gsum_refs[si][...] += part
     dpad = _dpad_accumulate(g_groups, w_refs, out_phases, h, w, k, cin)
     dphases = _phase_pad_transpose(dpad, k, h, w, corner_mode)  # = dL/dx' fp32
     if not has_act:
         for o_ref, d in zip(outs, dphases):
             o_ref[...] = d.reshape(k, 5, h, w, cin).astype(out_dtype)
         return
-    dmul_ref, dadd_ref = refs[idx + 4], refs[idx + 5]
+    dmul_ref, dadd_ref = refs[idx], refs[idx + 1]
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(first)
     def _():
         dmul_ref[...] = jnp.zeros_like(dmul_ref)
         dadd_ref[...] = jnp.zeros_like(dadd_ref)
@@ -508,9 +544,12 @@ def _pc_dx_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype,
     dadd_ref[...] += dadd_part.reshape(1, cin)
 
 
-def _pc_dtaps_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, has_act):
+def _pc_dtaps_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, has_act,
+                     with_stats=False, emit_gsum=False):
     """Phase-input conv dtaps: refs = 4 phases, [act mul, add], n_sets groups
-    of g refs, then n_sets (7, cin, cout) accumulator outputs."""
+    of g refs, [n_sets groups of y refs + n_sets gs refs], then n_sets
+    (7, cin, cout) accumulator outputs [+ n_sets (1, cout) gsum accumulators
+    when emit_gsum — the bias grad for convs that skip the dx kernel]."""
     n_out = len(out_phases)
     cin = refs[0].shape[-1]
     phases = tuple(r[...].reshape(k * 5, h, w, cin) for r in refs[:4])
@@ -522,11 +561,35 @@ def _pc_dtaps_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, has_act):
     g_groups = [
         refs[idx + i * n_out : idx + (i + 1) * n_out] for i in range(n_sets)
     ]
-    outs = refs[idx + n_sets * n_out :]
+    idx += n_sets * n_out
+    first = pl.program_id(0) == 0
+    if with_stats:
+        y_refs_flat = refs[idx : idx + n_sets * n_out]
+        gs_refs = refs[idx + n_sets * n_out : idx + n_sets * n_out + n_sets]
+        idx += n_sets * n_out + n_sets
+        g_groups = [
+            _geff_fold(
+                g_set, y_refs_flat[si * n_out : (si + 1) * n_out],
+                gs_refs[si], g_set[0].dtype,
+            )
+            for si, g_set in enumerate(g_groups)
+        ]
+    outs = refs[idx : idx + n_sets]
+    if emit_gsum:
+        gsum_refs = refs[idx + n_sets : idx + 2 * n_sets]
+        for si, g_set in enumerate(g_groups):
+            part = sum(
+                jnp.sum(g[...].astype(jnp.float32), axis=(0, 1, 2, 3))
+                for g in g_set
+            ).reshape(1, -1)
+
+            @pl.when(first)
+            def _(si=si):
+                gsum_refs[si][...] = jnp.zeros_like(gsum_refs[si])
+
+            gsum_refs[si][...] += part
     padded = _phase_pad_k(phases, k, h, w, corner_mode)
-    _dtaps_accumulate(
-        padded, g_groups, outs, out_phases, h, w, k, pl.program_id(0) == 0
-    )
+    _dtaps_accumulate(padded, g_groups, outs, out_phases, h, w, k, first)
 
 
 def _geff_fold(g_refs, y_refs, gs_ref, dtype):
@@ -702,6 +765,29 @@ def _phase_conv_bwd(raw_phases, g_groups, y_groups, gs_list, tap_sets,
     return dphases, dtaps, gsums, dmul, dadd
 
 
+def _kernel_geff_enabled(family: str = "") -> bool:
+    """Route the BatchNorm stats-cotangent fold + Σg_eff bias-grad reduction
+    through the (separate) dx/dtaps backward kernels instead of an XLA
+    elementwise pass + reduction per conv (~1.5 ms/step across the model in
+    the round-3 trace). Families: 'pcs1' (phase stride-1), 'ds2' (dual
+    stride-2), 'upd' (upsample+dual), 'std' (standard-layout conv).
+
+    GENICONET_KERNEL_GEFF: '0' (off), '1'/'all' (every family), or a comma
+    list of families — for hardware bisection of backend crashes (the
+    whole-model all-family fold program hit the same first-execution
+    INTERNAL as the merged backward on the tunneled v5e; interpret-mode
+    numerics are pinned by tests either way). Default off until the
+    per-family hardware bisection lands on a safe subset."""
+    import os
+
+    v = os.environ.get("GENICONET_KERNEL_GEFF", "0")
+    if v in ("0", ""):
+        return False
+    if v in ("1", "all"):
+        return True
+    return family in {f.strip() for f in v.split(",")}
+
+
 def _merged_bwd_enabled(family: str = "") -> bool:
     """The merged backward kernels are interpret-verified but crashed the
     tunneled v5e on first hardware execution (INTERNAL at step 1); they stay
@@ -823,13 +909,50 @@ def _up_bwd_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype, with_stats):
     _dtaps_accumulate(padded, g_groups, dt_refs, _ALL, h, w, k, first)
 
 
-def _up_dx_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype):
-    """Upsample + conv dx: refs = n_sets×4 g refs, n_sets taps, 1 output
-    (std level-s layout)."""
-    g_groups = [refs[i * 4 : (i + 1) * 4] for i in range(n_sets)]
-    w_refs = refs[n_sets * 4 : n_sets * 4 + n_sets]
-    o_ref = refs[n_sets * 4 + n_sets]
+def _up_fold_groups(refs, idx, n_sets, with_stats, out_dtype):
+    """Shared input parse for the up dx/dtaps kernels: n_sets×4 g refs
+    [+ n_sets×4 y refs + n_sets gs refs with the in-kernel stats fold].
+    Returns (g_groups, next_idx)."""
+    g_flat = refs[idx : idx + n_sets * 4]
+    idx += n_sets * 4
+    if not with_stats:
+        return [g_flat[i * 4 : (i + 1) * 4] for i in range(n_sets)], idx
+    y_flat = refs[idx : idx + n_sets * 4]
+    gs_refs = refs[idx + n_sets * 4 : idx + n_sets * 4 + n_sets]
+    idx += n_sets * 4 + n_sets
+    groups = [
+        _geff_fold(
+            g_flat[i * 4 : (i + 1) * 4], y_flat[i * 4 : (i + 1) * 4],
+            gs_refs[i], out_dtype,
+        )
+        for i in range(n_sets)
+    ]
+    return groups, idx
+
+
+def _up_dx_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype,
+                  with_stats=False):
+    """Upsample + conv dx: refs = n_sets×4 g refs [+ y/gs refs], n_sets
+    taps, then 1 dx output (std level-s layout) [+ n_sets gsum
+    accumulators]."""
+    g_groups, idx = _up_fold_groups(refs, 0, n_sets, with_stats, out_dtype)
+    w_refs = refs[idx : idx + n_sets]
+    o_ref = refs[idx + n_sets]
     cin = w_refs[0].shape[1]
+    if with_stats:
+        gsum_refs = refs[idx + n_sets + 1 : idx + 2 * n_sets + 1]
+        first = pl.program_id(0) == 0
+        for si, g_set in enumerate(g_groups):
+            part = sum(
+                jnp.sum(g[...].astype(jnp.float32), axis=(0, 1, 2, 3))
+                for g in g_set
+            ).reshape(1, -1)
+
+            @pl.when(first)
+            def _(si=si):
+                gsum_refs[si][...] = jnp.zeros_like(gsum_refs[si])
+
+            gsum_refs[si][...] += part
     dpad = _dpad_accumulate(g_groups, w_refs, _ALL, h, w, k, cin)
     dphases = _phase_pad_transpose(dpad, k, h, w, corner_mode)
     dP = _upsample_transpose(dphases, h, w)
@@ -837,11 +960,13 @@ def _up_dx_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype):
     o_ref[...] = dx.reshape(k, 5, h, w, cin).astype(out_dtype)
 
 
-def _up_dtaps_kernel(*refs, h, w, k, corner_mode, n_sets):
-    """Upsample + conv dtaps: refs = x, n_sets×4 g refs, n_sets outputs."""
+def _up_dtaps_kernel(*refs, h, w, k, corner_mode, n_sets, with_stats=False,
+                     out_dtype=None):
+    """Upsample + conv dtaps: refs = x, n_sets×4 g refs [+ y/gs refs],
+    n_sets outputs."""
     x_ref = refs[0]
-    g_groups = [refs[1 + i * 4 : 1 + (i + 1) * 4] for i in range(n_sets)]
-    outs = refs[1 + n_sets * 4 :]
+    g_groups, idx = _up_fold_groups(refs, 1, n_sets, with_stats, out_dtype)
+    outs = refs[idx:]
     P = jnp.concatenate(
         [_build_padded(x_ref[i], h, w, corner_mode) for i in range(k)], axis=0
     )
@@ -942,24 +1067,35 @@ def _phase_conv_fwd(phases, tap_sets, corner_mode, out_phases, act=None,
 
 
 def _phase_conv_dx(g_groups, tap_sets, corner_mode, out_phases, cin, dtype,
-                   act=None, raw_phases=None):
+                   act=None, raw_phases=None, y_groups=None, gs_list=None):
     """With act, also needs the RAW input phases and returns
-    (dphases, d_mul, d_add); otherwise (dphases, None, None)."""
+    (dphases, d_mul, d_add, gsums); otherwise (dphases, None, None, gsums).
+    With y_groups/gs_list, the stats-cotangent fold runs in-kernel and the
+    per-set Σg_eff bias gradients come back as `gsums` (else None)."""
     B = g_groups[0][0].shape[0]
     h, w = g_groups[0][0].shape[2], g_groups[0][0].shape[3]
     n_sets = len(tap_sets)
+    with_stats = y_groups is not None
     couts = [t.shape[-1] for t, _ in tap_sets]
-    per_sample = 5 * h * w * (12 * cin + 4 * sum(couts)) * 4
+    per_sample = 5 * h * w * (
+        12 * cin + (8 if with_stats else 4) * sum(couts)) * 4
     k = _choose_k(B, per_sample, 5 * h * w)
     kernel = functools.partial(
         _pc_dx_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
         out_phases=out_phases, n_sets=n_sets, out_dtype=dtype,
-        has_act=act is not None,
+        has_act=act is not None, with_stats=with_stats,
     )
     in_specs, args = [], []
     for g_group, cout in zip(g_groups, couts):
         in_specs += [_block((k, 5, h, w, cout))] * len(out_phases)
         args += list(g_group)
+    if with_stats:
+        for y_group, cout in zip(y_groups, couts):
+            in_specs += [_block((k, 5, h, w, cout))] * len(out_phases)
+            args += list(y_group)
+        for gs, cout in zip(gs_list, couts):
+            in_specs.append(_acc_spec((2, cout)))
+            args.append(gs)
     for taps, _ in tap_sets:
         in_specs.append(_full())
         args.append(taps)
@@ -971,6 +1107,10 @@ def _phase_conv_dx(g_groups, tap_sets, corner_mode, out_phases, cin, dtype,
                  act[1].reshape(1, cin).astype(jnp.float32)]
     out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, cin), dtype)] * 4
     out_specs = [_block((k, 5, h, w, cin))] * 4
+    if with_stats:
+        for cout in couts:
+            out_shape.append(jax.ShapeDtypeStruct((1, cout), jnp.float32))
+            out_specs.append(_acc_spec((1, cout)))
     if act is not None:
         out_shape += [jax.ShapeDtypeStruct((1, cin), jnp.float32)] * 2
         out_specs += [_acc_spec((1, cin))] * 2
@@ -983,23 +1123,35 @@ def _phase_conv_dx(g_groups, tap_sets, corner_mode, out_phases, cin, dtype,
         out_shape=out_shape,
         **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 4),
     )(*args)
+    idx = 4
+    gsums = None
+    if with_stats:
+        gsums = [o.reshape(-1) for o in outs[idx : idx + n_sets]]
+        idx += n_sets
     if act is not None:
-        return tuple(outs[:4]), outs[4].reshape(cin), outs[5].reshape(cin)
-    return tuple(outs), None, None
+        return (tuple(outs[:4]), outs[idx].reshape(cin),
+                outs[idx + 1].reshape(cin), gsums)
+    return tuple(outs[:4]), None, None, gsums
 
 
 def _phase_conv_dtaps(phases, g_groups, tap_shapes, corner_mode, out_phases,
-                      act=None):
+                      act=None, y_groups=None, gs_list=None, emit_gsum=False):
+    """With y_groups/gs_list the stats-cotangent fold runs in-kernel; with
+    emit_gsum the per-set Σg_eff bias gradients come back as a second result
+    (for convs that skip the dx kernel, e.g. the encoder front)."""
     B = phases[0].shape[0]
     h, w = phases[0].shape[2], phases[0].shape[3]
     cin = phases[0].shape[-1]
     n_sets = len(g_groups)
+    with_stats = y_groups is not None
     couts = [s[-1] for s in tap_shapes]
-    per_sample = 5 * h * w * (8 * cin + 4 * sum(couts)) * 4
+    per_sample = 5 * h * w * (
+        8 * cin + (8 if with_stats else 4) * sum(couts)) * 4
     k = _choose_k(B, per_sample, 5 * h * w)
     kernel = functools.partial(
         _pc_dtaps_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
         out_phases=out_phases, n_sets=n_sets, has_act=act is not None,
+        with_stats=with_stats, emit_gsum=emit_gsum,
     )
     in_specs = [_block((k, 5, h, w, cin))] * 4
     args = list(phases)
@@ -1010,11 +1162,22 @@ def _phase_conv_dtaps(phases, g_groups, tap_shapes, corner_mode, out_phases,
     for g_group, cout in zip(g_groups, couts):
         in_specs += [_block((k, 5, h, w, cout))] * len(out_phases)
         args += list(g_group)
+    if with_stats:
+        for y_group, cout in zip(y_groups, couts):
+            in_specs += [_block((k, 5, h, w, cout))] * len(out_phases)
+            args += list(y_group)
+        for gs, cout in zip(gs_list, couts):
+            in_specs.append(_acc_spec((2, cout)))
+            args.append(gs)
     out_shape = [jax.ShapeDtypeStruct((7, cin, c), jnp.float32) for c in couts]
     out_specs = [
         pl.BlockSpec((7, cin, c), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
         for c in couts
     ]
+    if emit_gsum:
+        for c in couts:
+            out_shape.append(jax.ShapeDtypeStruct((1, c), jnp.float32))
+            out_specs.append(_acc_spec((1, c)))
     flops = 2 * B * 5 * h * w * len(out_phases) * 7 * cin * sum(couts)
     outs = pl.pallas_call(
         kernel,
@@ -1024,6 +1187,9 @@ def _phase_conv_dtaps(phases, g_groups, tap_shapes, corner_mode, out_phases,
         out_shape=out_shape,
         **_params(flops, B * 5 * h * w * cin * 4),
     )(*args)
+    if emit_gsum:
+        return (tuple(outs[: len(couts)]),
+                [o.reshape(-1) for o in outs[len(couts) :]])
     return tuple(outs)
 
 
@@ -1086,21 +1252,36 @@ def _pcs1_bwd(corner_mode, with_stats, needs_dx, res, g):
         )
         db = None if bias is None else gsum.astype(bias.dtype)
         return dphases, dtaps.astype(taps.dtype), db, dmul, dadd
-    g_out = _stats_geff(g_out, out, g_st if with_stats else None)
+    fold = with_stats and _kernel_geff_enabled("pcs1")
+    yk = dict(y_groups=[out], gs_list=[g_st]) if fold else {}
+    if not fold:
+        g_out = _stats_geff(g_out, out, g_st if with_stats else None)
+    gsums = None
     if needs_dx:
-        dphases, dmul, dadd = _phase_conv_dx(
+        dphases, dmul, dadd, gsums = _phase_conv_dx(
             [g_out], [(taps, bias)], corner_mode, _ALL,
             phases[0].shape[-1], phases[0].dtype, act=act, raw_phases=phases,
+            **yk,
         )
     else:
         # the input is data (encoder front): skip the whole dx kernel —
         # XLA cannot DCE an unused pallas custom-call on its own
         dphases = tuple(jnp.zeros_like(p) for p in phases)
         dmul = dadd = (None if act is None else jnp.zeros_like(act[0]))
-    (dtaps,) = _phase_conv_dtaps(
-        phases, [g_out], [taps.shape], corner_mode, _ALL, act=act
+    r = _phase_conv_dtaps(
+        phases, [g_out], [taps.shape], corner_mode, _ALL, act=act,
+        emit_gsum=fold and gsums is None, **yk,
     )
-    db = None if bias is None else _dbias(g_out).astype(bias.dtype)
+    if fold and gsums is None:
+        (dtaps,), gsums = r
+    else:
+        (dtaps,) = r
+    if bias is None:
+        db = None
+    elif gsums is not None:
+        db = gsums[0].astype(bias.dtype)
+    else:
+        db = _dbias(g_out).astype(bias.dtype)
     return dphases, dtaps.astype(taps.dtype), db, dmul, dadd
 
 
@@ -1161,19 +1342,27 @@ def _ds2_bwd(corner_mode, with_stats, res, g):
         dbb = None if bias_b is None else gsb_.astype(bias_b.dtype)
         return (dphases, dta.astype(taps_a.dtype), dba,
                 dtb.astype(taps_b.dtype), dbb, dmul, dadd)
-    if with_stats:
+    fold = with_stats and _kernel_geff_enabled("ds2")
+    yk = (dict(y_groups=[(ys[0],), (ys[1],)], gs_list=[gsa, gsb])
+          if fold else {})
+    if with_stats and not fold:
         (ga,) = _stats_geff((ga,), (ys[0],), gsa)
         (gb,) = _stats_geff((gb,), (ys[1],), gsb)
-    dphases, dmul, dadd = _phase_conv_dx(
+    dphases, dmul, dadd, gsums = _phase_conv_dx(
         [(ga,), (gb,)], [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, (2,),
         phases[0].shape[-1], phases[0].dtype, act=act, raw_phases=phases,
+        **yk,
     )
     dta, dtb = _phase_conv_dtaps(
         phases, [(ga,), (gb,)], [taps_a.shape, taps_b.shape], corner_mode, (2,),
-        act=act,
+        act=act, **yk,
     )
-    dba = None if bias_a is None else _dbias([ga]).astype(bias_a.dtype)
-    dbb = None if bias_b is None else _dbias([gb]).astype(bias_b.dtype)
+    if gsums is not None:
+        dba = None if bias_a is None else gsums[0].astype(bias_a.dtype)
+        dbb = None if bias_b is None else gsums[1].astype(bias_b.dtype)
+    else:
+        dba = None if bias_a is None else _dbias([ga]).astype(bias_a.dtype)
+        dbb = None if bias_b is None else _dbias([gb]).astype(bias_b.dtype)
     return (dphases, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype),
             dbb, dmul, dadd)
 
@@ -1307,41 +1496,65 @@ def _upd_bwd(corner_mode, with_stats, res, g):
         dbb = None if bias_b is None else gsb_.reshape(-1).astype(bias_b.dtype)
         return (dx, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype),
                 dbb)
-    if with_stats:
+    fold = with_stats and _kernel_geff_enabled("upd")
+    if with_stats and not fold:
         ga = _stats_geff(ga, ys[0], gsa)
         gb = _stats_geff(gb, ys[1], gsb)
-    per_sample = 5 * h * w * (16 * cin + 4 * sum(couts)) * 4
+    per_sample = 5 * h * w * (
+        16 * cin + (8 if fold else 4) * sum(couts)) * 4
     k = _choose_k(B, per_sample, 5 * h * w)
 
+    def fold_args(specs, args):
+        if fold:
+            specs += [_block((k, 5, h, w, couts[0]))] * 4
+            specs += [_block((k, 5, h, w, couts[1]))] * 4
+            args += list(ys[0]) + list(ys[1])
+            for gs, cout in zip((gsa, gsb), couts):
+                specs.append(_acc_spec((2, cout)))
+                args.append(gs)
+        return specs, args
+
     # dx: one kernel — conv transpose for both sets, phase-pad transpose,
-    # upsample transpose, pad transpose.
+    # upsample transpose, pad transpose [+ in-kernel stats fold + Σg_eff].
     dx_kernel = functools.partial(
         _up_dx_kernel, h=h, w=w, k=k, corner_mode=corner_mode, n_sets=2,
-        out_dtype=dtype,
+        out_dtype=dtype, with_stats=fold,
     )
-    in_specs = (
+    in_specs, args = fold_args(
         [_block((k, 5, h, w, couts[0]))] * 4
-        + [_block((k, 5, h, w, couts[1]))] * 4
-        + [_full(), _full()]
+        + [_block((k, 5, h, w, couts[1]))] * 4,
+        list(ga) + list(gb),
     )
+    in_specs += [_full(), _full()]
+    args += [taps_a, taps_b]
+    out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, cin), dtype)]
+    out_specs = [_block((k, 5, h, w, cin))]
+    if fold:
+        for cout in couts:
+            out_shape.append(jax.ShapeDtypeStruct((1, cout), jnp.float32))
+            out_specs.append(_acc_spec((1, cout)))
     flops = 2 * B * 5 * h * w * 4 * 7 * cin * sum(couts)
-    dx = pl.pallas_call(
+    outs = pl.pallas_call(
         dx_kernel,
         grid=(B // k,),
         in_specs=in_specs,
-        out_specs=_block((k, 5, h, w, cin)),
-        out_shape=jax.ShapeDtypeStruct((B, 5, h, w, cin), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 5),
-    )(*ga, *gb, taps_a, taps_b)
+    )(*args)
+    dx = outs[0]
+    gsums = [o.reshape(-1) for o in outs[1:]] if fold else None
 
     # dtaps: one kernel for both sets, accumulated across the batch grid.
     dt_kernel = functools.partial(
-        _up_dtaps_kernel, h=h, w=w, k=k, corner_mode=corner_mode, n_sets=2
+        _up_dtaps_kernel, h=h, w=w, k=k, corner_mode=corner_mode, n_sets=2,
+        with_stats=fold, out_dtype=dtype,
     )
-    in_specs = (
+    in_specs, args = fold_args(
         [_block((k, 5, h, w, cin))]
         + [_block((k, 5, h, w, couts[0]))] * 4
-        + [_block((k, 5, h, w, couts[1]))] * 4
+        + [_block((k, 5, h, w, couts[1]))] * 4,
+        [x] + list(ga) + list(gb),
     )
     out_shape = [jax.ShapeDtypeStruct((7, cin, c), jnp.float32) for c in couts]
     out_specs = [
@@ -1355,10 +1568,14 @@ def _upd_bwd(corner_mode, with_stats, res, g):
         out_specs=out_specs,
         out_shape=out_shape,
         **_params(flops, B * 5 * h * w * cin * 4),
-    )(x, *ga, *gb)
+    )(*args)
 
-    dba = None if bias_a is None else _dbias(ga).astype(bias_a.dtype)
-    dbb = None if bias_b is None else _dbias(gb).astype(bias_b.dtype)
+    if fold:
+        dba = None if bias_a is None else gsums[0].astype(bias_a.dtype)
+        dbb = None if bias_b is None else gsums[1].astype(bias_b.dtype)
+    else:
+        dba = None if bias_a is None else _dbias(ga).astype(bias_a.dtype)
+        dbb = None if bias_b is None else _dbias(gb).astype(bias_b.dtype)
     return dx, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype), dbb
 
 

@@ -18,6 +18,9 @@ def main():
     a = ap.parse_args()
 
     sys.path.insert(0, ".")
+    from geniconet_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
     from bench import build
 
     trainer, state, batches = build()

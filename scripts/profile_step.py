@@ -28,14 +28,17 @@ def run_trace(out_dir, steps):
     trainer, state, batches = build()
     global _USE_PALLAS
     _USE_PALLAS = bool(trainer.model.use_pallas)
-    x, y, wt = next(iter(batches.epoch()))
-    # warmup/compile
-    state, metrics, _, _ = trainer._jit_train_step(state, x, y, wt, 0)
+    tables = trainer.prepared_tables(batches)
+    idx, wt = next(iter(batches.epoch_indices()))
+    # warmup/compile — the same fused-gather hot step bench.py times
+    state, metrics, _, _ = trainer._jit_train_step_gather(
+        state, tables, idx, wt, 0)
     float(jax.device_get(metrics["total"]))
     t0 = time.perf_counter()
     jax.profiler.start_trace(out_dir)
     for _ in range(steps):
-        state, metrics, _, _ = trainer._jit_train_step(state, x, y, wt, 0)
+        state, metrics, _, _ = trainer._jit_train_step_gather(
+            state, tables, idx, wt, 0)
     float(jax.device_get(metrics["total"]))
     jax.profiler.stop_trace()
     dt = time.perf_counter() - t0
@@ -137,6 +140,9 @@ def summarize(out_dir, steps):
 
 
 def main():
+    from geniconet_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--out", default="/tmp/gn_trace")

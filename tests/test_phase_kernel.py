@@ -165,3 +165,59 @@ def test_batched_k_gt_1():
     got = pk.fused_phase_conv_s1(phases, taps, bias, "average")
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("fam", ["pcs1", "ds2", "upd", "std"])
+def test_kernel_geff_fold_matches_xla_fold(fam, monkeypatch):
+    """The in-kernel stats-cotangent fold (GENICONET_KERNEL_GEFF) must give
+    bit-equal gradients to the XLA-side `_stats_geff` route, including the
+    Σg_eff bias gradient, for every kernel family."""
+    phases, x_std = _phases(2, C=4, seed=7)
+    ta, ba = _taps(4, 6, 8)
+    tb, bb = _taps(4, 6, 9)
+
+    if fam == "pcs1":
+        def loss(phases, ta, ba):
+            out, st = pk.fused_phase_conv_s1(
+                phases, ta, ba, "average", with_stats=True)
+            return (sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in out)
+                    + jnp.sum(st * jnp.arange(st.size).reshape(st.shape)))
+        args = (phases, ta, ba)
+    elif fam == "ds2":
+        def loss(phases, ta, ba):
+            ya, yb, sa, sb = pk.fused_dual_s2_conv(
+                phases, ta, ba, tb, bb, "average", with_stats=True)
+            return (jnp.sum(ya.astype(jnp.float32) ** 2)
+                    + jnp.sum(yb.astype(jnp.float32) ** 2)
+                    + jnp.sum(sa * 0.5) + jnp.sum(sb * 2.0))
+        args = (phases, ta, ba)
+    elif fam == "upd":
+        def loss(x, ta, ba):
+            ya, yb, sa, sb = pk.fused_up_dual_conv(
+                x, ta, ba, tb, bb, "average", with_stats=True)
+            return (sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in ya)
+                    + sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in yb)
+                    + jnp.sum(sa * 0.5) + jnp.sum(sb * 2.0))
+        args = (x_std, ta, ba)
+    else:  # std (standard-layout conv, with act prologue)
+        from geniconet_tpu.ops.pallas.conv_kernel import fused_ico_conv_s2s
+
+        mul = jnp.asarray(np.random.RandomState(11).rand(4) + 0.5, jnp.float32)
+        add = jnp.asarray(np.random.RandomState(12).randn(4), jnp.float32)
+
+        def loss(x, ta, ba):
+            y, st = fused_ico_conv_s2s(
+                x, ta, ba, 2, "average", stride=1, act=(mul, add),
+                with_stats=True)
+            return (jnp.sum(y.astype(jnp.float32) ** 2)
+                    + jnp.sum(st * jnp.arange(st.size).reshape(st.shape)))
+        args = (x_std, ta, ba)
+
+    grad = jax.grad(loss, argnums=(0, 1, 2))
+    monkeypatch.setenv("GENICONET_KERNEL_GEFF", "0")
+    g_xla = grad(*args)
+    monkeypatch.setenv("GENICONET_KERNEL_GEFF", fam)
+    g_fold = grad(*args)
+    for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_fold)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
