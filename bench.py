@@ -102,7 +102,10 @@ def main():
     # is cadenced by the global step, rare at log_freq=1000)
     float(jax.device_get(state.step))
     dt = time.perf_counter() - t0
-    loss = (info.get("last") or {}).get("total", float("nan"))
+    # the global-step log cadence never fires inside this short loop, so
+    # read the final iteration's on-device metrics (sync is outside timing)
+    last = info.get("last_device") or info.get("last") or {}
+    loss = float(jax.device_get(last.get("total", float("nan"))))
     epoch_loop = n_meshes / dt
     print(
         f"epoch-loop (device-resident gather batching): {n_meshes} meshes in "

@@ -746,12 +746,12 @@ def _fwd(x, taps, bias, act_mul, act_add, subdivisions, corner_mode, stride,
          with_stats):
     y, st = _fic(x, taps, bias, act_mul, act_add, subdivisions, corner_mode,
                  stride, with_stats)
-    res = (x, taps, bias, act_mul, act_add, y if with_stats else None)
+    res = (x, taps, bias, act_mul, act_add, y if with_stats else None, st)
     return (y, st), res
 
 
 def _bwd(subdivisions, corner_mode, stride, with_stats, res, g):
-    x, taps, bias, act_mul, act_add, y = res
+    x, taps, bias, act_mul, act_add, y, st = res
     gy, gst = g
     act = None if act_mul is None else (act_mul, act_add)
     if _std_bwd_vmem_ok(subdivisions, x.shape[-1], gy.shape[-1], x.shape[0]):
@@ -764,7 +764,14 @@ def _bwd(subdivisions, corner_mode, stride, with_stats, res, g):
     from geniconet_tpu.ops.pallas.phase_kernel import _kernel_geff_enabled
 
     fold = with_stats and _kernel_geff_enabled("std")
+    db_stats = None
     if with_stats and not fold:
+        if bias is not None:
+            # reduce the RAW cotangent + stats identity so the XLA fold
+            # below stays pure elementwise (phase_kernel._dbias_from_stats)
+            from geniconet_tpu.ops.pallas.phase_kernel import _dbias_from_stats
+
+            db_stats = _dbias_from_stats([gy], gst, st)
         gy = _geff_one(gy, y, gst[0].astype(jnp.float32),
                        gst[1].astype(jnp.float32), gy.dtype)
     yk = dict(y=y, gs=gst) if fold else {}
@@ -776,6 +783,8 @@ def _bwd(subdivisions, corner_mode, stride, with_stats, res, g):
         dbias = None
     elif gsum is not None:
         dbias = gsum.astype(bias.dtype)
+    elif db_stats is not None:
+        dbias = db_stats.astype(bias.dtype)
     else:
         dbias = jnp.sum(gy, axis=(0, 1, 2, 3)).astype(bias.dtype)
     return dx, dtaps, dbias, dmul, dadd

@@ -1197,6 +1197,26 @@ def _dbias(g_group):
     return sum(jnp.sum(g, axis=(0, 1, 2, 3)) for g in g_group)
 
 
+def _dbias_from_stats(g_group, g_st, st):
+    """Bias gradient via the stats identity:
+        Σ_pos g_eff = Σ_pos g_raw + P·gs0 + 2·gs1·Σ_pos y,
+    with Σ_pos y = st[0] saved from the forward. Reducing over the RAW
+    upstream cotangent keeps the XLA `_stats_geff` fold PURE elementwise —
+    a reduction output entangled in that fusion serialized it to ~0.4 ms
+    per wide layer in the round-3 trace, while a standalone reduce over g
+    is bandwidth-bound (~30 µs)."""
+    import math
+
+    sg = sum(
+        jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3)) for g in g_group
+    )
+    if g_st is None:
+        return sg
+    P = float(math.prod(g_group[0].shape[:-1]) * len(g_group))
+    return (sg + P * g_st[0].astype(jnp.float32)
+            + 2.0 * g_st[1].astype(jnp.float32) * st[0])
+
+
 # --------------------------- shared vjp helpers ----------------------------
 
 
@@ -1234,12 +1254,13 @@ def _pcs1_fwd(phases, taps, bias, act_mul, act_add, corner_mode, with_stats,
               needs_dx):
     out, st = _pcs1(phases, taps, bias, act_mul, act_add, corner_mode,
                     with_stats, needs_dx)
-    res = (phases, taps, bias, act_mul, act_add, out if with_stats else None)
+    res = (phases, taps, bias, act_mul, act_add,
+           out if with_stats else None, st)
     return (out, st), res
 
 
 def _pcs1_bwd(corner_mode, with_stats, needs_dx, res, g):
-    phases, taps, bias, act_mul, act_add, out = res
+    phases, taps, bias, act_mul, act_add, out, st = res
     g_out, g_st = g
     act = _mk_act(act_mul, act_add)
     h, w = phases[0].shape[2], phases[0].shape[3]
@@ -1254,7 +1275,12 @@ def _pcs1_bwd(corner_mode, with_stats, needs_dx, res, g):
         return dphases, dtaps.astype(taps.dtype), db, dmul, dadd
     fold = with_stats and _kernel_geff_enabled("pcs1")
     yk = dict(y_groups=[out], gs_list=[g_st]) if fold else {}
+    db_stats = None
     if not fold:
+        if with_stats and bias is not None:
+            # reduce the RAW cotangent + stats identity so the fold below
+            # stays pure elementwise (see _dbias_from_stats)
+            db_stats = _dbias_from_stats(g_out, g_st, st)
         g_out = _stats_geff(g_out, out, g_st if with_stats else None)
     gsums = None
     if needs_dx:
@@ -1280,6 +1306,8 @@ def _pcs1_bwd(corner_mode, with_stats, needs_dx, res, g):
         db = None
     elif gsums is not None:
         db = gsums[0].astype(bias.dtype)
+    elif db_stats is not None:
+        db = db_stats.astype(bias.dtype)
     else:
         db = _dbias(g_out).astype(bias.dtype)
     return dphases, dtaps.astype(taps.dtype), db, dmul, dadd
@@ -1320,12 +1348,12 @@ def _ds2_fwd(phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
     ya, yb, sa, sb = _ds2(phases, taps_a, bias_a, taps_b, bias_b,
                           act_mul, act_add, corner_mode, with_stats)
     res = (phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
-           (ya, yb) if with_stats else None)
+           (ya, yb) if with_stats else None, (sa, sb))
     return (ya, yb, sa, sb), res
 
 
 def _ds2_bwd(corner_mode, with_stats, res, g):
-    phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add, ys = res
+    phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add, ys, sts = res
     ga, gb, gsa, gsb = g
     act = _mk_act(act_mul, act_add)
     h, w = phases[0].shape[2], phases[0].shape[3]
@@ -1345,7 +1373,12 @@ def _ds2_bwd(corner_mode, with_stats, res, g):
     fold = with_stats and _kernel_geff_enabled("ds2")
     yk = (dict(y_groups=[(ys[0],), (ys[1],)], gs_list=[gsa, gsb])
           if fold else {})
+    dba_stats = dbb_stats = None
     if with_stats and not fold:
+        if bias_a is not None:
+            dba_stats = _dbias_from_stats([ga], gsa, sts[0])
+        if bias_b is not None:
+            dbb_stats = _dbias_from_stats([gb], gsb, sts[1])
         (ga,) = _stats_geff((ga,), (ys[0],), gsa)
         (gb,) = _stats_geff((gb,), (ys[1],), gsb)
     dphases, dmul, dadd, gsums = _phase_conv_dx(
@@ -1360,6 +1393,9 @@ def _ds2_bwd(corner_mode, with_stats, res, g):
     if gsums is not None:
         dba = None if bias_a is None else gsums[0].astype(bias_a.dtype)
         dbb = None if bias_b is None else gsums[1].astype(bias_b.dtype)
+    elif dba_stats is not None or dbb_stats is not None:
+        dba = None if bias_a is None else dba_stats.astype(bias_a.dtype)
+        dbb = None if bias_b is None else dbb_stats.astype(bias_b.dtype)
     else:
         dba = None if bias_a is None else _dbias([ga]).astype(bias_a.dtype)
         dbb = None if bias_b is None else _dbias([gb]).astype(bias_b.dtype)
@@ -1441,12 +1477,12 @@ def _upd_fwd(x, taps_a, bias_a, taps_b, bias_b, corner_mode, with_stats):
     ya, yb, sa, sb = _upd(x, taps_a, bias_a, taps_b, bias_b, corner_mode,
                           with_stats)
     res = (x, taps_a, bias_a, taps_b, bias_b,
-           (ya, yb) if with_stats else None)
+           (ya, yb) if with_stats else None, (sa, sb))
     return (ya, yb, sa, sb), res
 
 
 def _upd_bwd(corner_mode, with_stats, res, g):
-    x, taps_a, bias_a, taps_b, bias_b, ys = res
+    x, taps_a, bias_a, taps_b, bias_b, ys, sts = res
     ga, gb, gsa, gsb = g
     B = x.shape[0]
     h, w = x.shape[2], x.shape[3]
@@ -1497,7 +1533,12 @@ def _upd_bwd(corner_mode, with_stats, res, g):
         return (dx, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype),
                 dbb)
     fold = with_stats and _kernel_geff_enabled("upd")
+    dba_stats = dbb_stats = None
     if with_stats and not fold:
+        if bias_a is not None:
+            dba_stats = _dbias_from_stats(ga, gsa, sts[0])
+        if bias_b is not None:
+            dbb_stats = _dbias_from_stats(gb, gsb, sts[1])
         ga = _stats_geff(ga, ys[0], gsa)
         gb = _stats_geff(gb, ys[1], gsb)
     per_sample = 5 * h * w * (
@@ -1573,6 +1614,9 @@ def _upd_bwd(corner_mode, with_stats, res, g):
     if fold:
         dba = None if bias_a is None else gsums[0].astype(bias_a.dtype)
         dbb = None if bias_b is None else gsums[1].astype(bias_b.dtype)
+    elif dba_stats is not None or dbb_stats is not None:
+        dba = None if bias_a is None else dba_stats.astype(bias_a.dtype)
+        dbb = None if bias_b is None else dbb_stats.astype(bias_b.dtype)
     else:
         dba = None if bias_a is None else _dbias(ga).astype(bias_a.dtype)
         dbb = None if bias_b is None else _dbias(gb).astype(bias_b.dtype)

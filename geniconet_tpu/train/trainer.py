@@ -510,7 +510,16 @@ class Trainer:
         if self.cfg.train.debug_timing:
             per = dt / max(n, 1)
             print(f"[debug] epoch {epoch}: {n} iters in {dt:.2f}s ({per*1000:.1f} ms/iter)")
-        return state, {"iters": n, "seconds": dt, "last": last_metrics}
+        # `last` is the last HOST-SYNCED metric dict (None when the global-
+        # step log cadence skipped every iter of this epoch); `last_device`
+        # is the final iteration's on-device metrics — callers that want a
+        # fresh loss without forcing a mid-epoch sync can device_get it.
+        return state, {
+            "iters": n,
+            "seconds": dt,
+            "last": last_metrics,
+            "last_device": metrics if n else None,
+        }
 
     def validate(self, state: TrainState, batches: Batches, epoch: int):
         # accumulate weighted metric sums ON DEVICE; one host sync at the end
