@@ -64,7 +64,7 @@ def main():
     # warmup / compile. NOTE: sync via device_get — block_until_ready does
     # not reliably wait on tunneled backends.
     t0 = time.perf_counter()
-    state, metrics, _, _ = trainer._jit_train_step_gather(
+    tables, (state, metrics, _, _) = trainer.gather_train_step(
         state, tables, idx, wt0, 0)
     float(jax.device_get(metrics["total"]))
     compile_s = time.perf_counter() - t0
@@ -76,7 +76,7 @@ def main():
     steps = 30
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics, _, _ = trainer._jit_train_step_gather(
+        tables, (state, metrics, _, _) = trainer.gather_train_step(
             state, tables, idx, wt0, 0)
     loss = float(jax.device_get(metrics["total"]))
     dt = time.perf_counter() - t0

@@ -304,7 +304,10 @@ def _dtaps_kernel(*refs, h, w, corner_mode, stride, k, has_act,
 
     ho, wo = h // stride, w // stride
     rows = k * 5 * ho * wo
-    g = g.reshape(rows, g_ref.shape[-1]).astype(jnp.float32)
+    # operands stay in the activation dtype — the MXU multiplies bf16
+    # natively and accumulates f32 via preferred_element_type; explicit f32
+    # upcasts forced multi-pass fp32 matmuls (round-3 trace)
+    g = g.reshape(rows, g_ref.shape[-1])
     P = jnp.concatenate(
         [_build_padded(xv[i], h, w, corner_mode) for i in range(k)], axis=0
     )
@@ -312,7 +315,7 @@ def _dtaps_kernel(*refs, h, w, corner_mode, stride, k, has_act,
     for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
         sl = _tap_slice(P, h, w, di, dj, stride).reshape(rows, cin)
         o_ref[t] += jax.lax.dot_general(
-            sl.astype(jnp.float32), g,
+            sl, g,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -382,7 +385,7 @@ def _conv_transpose_dP(gm, w_ref, h, w, stride, k, cin):
     dP = jnp.zeros((n, h + 2, w + 2, cin), jnp.float32)
     for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
         contrib = jax.lax.dot_general(
-            gm, w_ref[t].astype(jnp.float32),
+            gm, w_ref[t],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(n, ho, wo, cin)
@@ -409,7 +412,7 @@ def _conv_transpose_dP(gm, w_ref, h, w, stride, k, cin):
 
 
 def _dx_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act,
-               with_stats=False):
+               with_stats=False, emit_gsum=None):
     """dx = padᵀ(convᵀ(g)): build dP = Σ_t slice_t ← g·W_tᵀ, then accumulate
     every pad-source position back via `_pad_transpose`. refs: g, [y, gs],
     taps, [x, mul, add] -> dx, [gsum], [dmul, dadd]. With with_stats the
@@ -434,7 +437,10 @@ def _dx_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act,
     first = pl.program_id(0) == 0
     cout = g_ref.shape[-1]
     cin = w_ref.shape[1]
-    if with_stats:
+    if emit_gsum is None:
+        emit_gsum = with_stats
+    if emit_gsum:
+        # Σg is the bias grad whether the fold ran here or upstream in XLA
         gsum_ref = refs[idx]
         idx += 1
 
@@ -446,7 +452,7 @@ def _dx_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act,
             g.astype(jnp.float32), axis=(0, 1, 2, 3)
         ).reshape(1, cout)
     ho, wo = h // stride, w // stride
-    gm = g.reshape(k * 5 * ho * wo, cout).astype(jnp.float32)
+    gm = g.reshape(k * 5 * ho * wo, cout)
     n = k * 5
     dP = _conv_transpose_dP(gm, w_ref, h, w, stride, k, cin)
     dx = _pad_transpose(dP, h=h, w=w, corner_mode=corner_mode, k=k)
@@ -506,8 +512,8 @@ def _std_bwd_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act,
 
     gsum_ref[...] += jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3)).reshape(1, cout)
 
-    # dx = padT(convT(g_eff))
-    gm = g.reshape(rows, cout).astype(jnp.float32)
+    # dx = padT(convT(g_eff)) — native-dtype matmul operands, f32 acc
+    gm = g.reshape(rows, cout)
     n = k * 5
     dP = _conv_transpose_dP(gm, w_ref, h, w, stride, k, cin)
     dx = _pad_transpose(dP, h=h, w=w, corner_mode=corner_mode, k=k)
@@ -535,11 +541,11 @@ def _std_bwd_kernel(*refs, h, w, corner_mode, stride, k, out_dtype, has_act,
     P = jnp.concatenate(
         [_build_padded(xv[i], h, w, corner_mode) for i in range(k)], axis=0
     )
-    gm2 = g.reshape(rows, cout).astype(jnp.float32)
+    gm2 = g.reshape(rows, cout)
     for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
         sl = _tap_slice(P, h, w, di, dj, stride).reshape(rows, cin)
         dt_ref[t] += jax.lax.dot_general(
-            sl.astype(jnp.float32), gm2,
+            sl, gm2,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -670,18 +676,21 @@ def _pallas_dtaps(x, g, subdivisions, corner_mode, stride=1, act=None,
 
 
 def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype, stride=1,
-               act=None, x=None, y=None, gs=None):
-    """Returns (dx, dmul, dadd, gsum) — gsum = Σg_eff (bias grad) when
-    y/gs enable the in-kernel stats fold, else None."""
+               act=None, x=None, y=None, gs=None, emit_gsum=None):
+    """Returns (dx, dmul, dadd, gsum) — gsum = Σg (the bias grad) when
+    emit_gsum (defaults to the y/gs in-kernel stats fold being on)."""
     B = g.shape[0]
     h, w = ico.chart_shape(subdivisions)
     ho, wo = h // stride, w // stride
     cin, cout = taps.shape[1], g.shape[-1]
     with_stats = y is not None
+    if emit_gsum is None:
+        emit_gsum = with_stats
     k = _choose_k(B, h, w, cin, cout, g.dtype.itemsize)
     kernel = functools.partial(
         _dx_kernel, h=h, w=w, corner_mode=corner_mode, stride=stride, k=k,
         out_dtype=out_dtype, has_act=act is not None, with_stats=with_stats,
+        emit_gsum=emit_gsum,
     )
     in_specs = [
         pl.BlockSpec((k, 5, ho, wo, cout), lambda b: (b, 0, 0, 0, 0),
@@ -701,7 +710,7 @@ def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype, stride=1,
     out_specs = [pl.BlockSpec((k, 5, h, w, cin), lambda b: (b, 0, 0, 0, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, cin), out_dtype)]
-    if with_stats:
+    if emit_gsum:
         out_specs.append(pl.BlockSpec((1, cout), lambda b: (0, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((1, cout), jnp.float32))
@@ -726,7 +735,7 @@ def _pallas_dx(g, taps, subdivisions, corner_mode, out_dtype, stride=1,
     )(*args)
     idx = 1
     gsum = None
-    if with_stats:
+    if emit_gsum:
         gsum = outs[idx].reshape(cout)
         idx += 1
     if act is not None:
@@ -746,12 +755,12 @@ def _fwd(x, taps, bias, act_mul, act_add, subdivisions, corner_mode, stride,
          with_stats):
     y, st = _fic(x, taps, bias, act_mul, act_add, subdivisions, corner_mode,
                  stride, with_stats)
-    res = (x, taps, bias, act_mul, act_add, y if with_stats else None, st)
+    res = (x, taps, bias, act_mul, act_add, y if with_stats else None)
     return (y, st), res
 
 
 def _bwd(subdivisions, corner_mode, stride, with_stats, res, g):
-    x, taps, bias, act_mul, act_add, y, st = res
+    x, taps, bias, act_mul, act_add, y = res
     gy, gst = g
     act = None if act_mul is None else (act_mul, act_add)
     if _std_bwd_vmem_ok(subdivisions, x.shape[-1], gy.shape[-1], x.shape[0]):
@@ -764,29 +773,18 @@ def _bwd(subdivisions, corner_mode, stride, with_stats, res, g):
     from geniconet_tpu.ops.pallas.phase_kernel import _kernel_geff_enabled
 
     fold = with_stats and _kernel_geff_enabled("std")
-    db_stats = None
     if with_stats and not fold:
-        if bias is not None:
-            # reduce the RAW cotangent + stats identity so the XLA fold
-            # below stays pure elementwise (phase_kernel._dbias_from_stats)
-            from geniconet_tpu.ops.pallas.phase_kernel import _dbias_from_stats
-
-            db_stats = _dbias_from_stats([gy], gst, st)
         gy = _geff_one(gy, y, gst[0].astype(jnp.float32),
                        gst[1].astype(jnp.float32), gy.dtype)
     yk = dict(y=y, gs=gst) if fold else {}
+    # bias grad rides the dx kernel as a Σg accumulator (post-fold gy IS
+    # g_eff) — no XLA whole-cotangent convert+reduce per conv
     dx, dmul, dadd, gsum = _pallas_dx(gy, taps, subdivisions, corner_mode,
-                                      x.dtype, stride, act=act, x=x, **yk)
+                                      x.dtype, stride, act=act, x=x,
+                                      emit_gsum=bias is not None, **yk)
     dtaps = _pallas_dtaps(x, gy, subdivisions, corner_mode, stride, act=act,
                           **yk)
-    if bias is None:
-        dbias = None
-    elif gsum is not None:
-        dbias = gsum.astype(bias.dtype)
-    elif db_stats is not None:
-        dbias = db_stats.astype(bias.dtype)
-    else:
-        dbias = jnp.sum(gy, axis=(0, 1, 2, 3)).astype(bias.dtype)
+    dbias = None if bias is None else gsum.astype(bias.dtype)
     return dx, dtaps, dbias, dmul, dadd
 
 

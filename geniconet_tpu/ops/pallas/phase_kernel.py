@@ -331,17 +331,20 @@ def _dpad_accumulate(g_groups, w_refs, out_phases, h, w, k, cin):
     n = k * 5
     rows = n * h * w
     n_out = len(out_phases)
+    # matmul operands stay in the activation dtype — the MXU multiplies
+    # bf16 natively and accumulates f32 via preferred_element_type; an
+    # explicit f32 upcast here forced multi-pass fp32 matmuls (round-3
+    # trace: backward kernels at ~40% of the bf16 roofline)
     g_stacks = []
     for g_refs in g_groups:
         cout = g_refs[0].shape[-1]
         g_stacks.append(
             jnp.concatenate([g[...] for g in g_refs], axis=0)
             .reshape(n_out * rows, cout)
-            .astype(jnp.float32)
         )
     # pack sets along the contraction dim: Σ_sets g_s·W_sᵀ == g_cat·w_catᵀ
     g_cat = g_stacks[0] if len(g_stacks) == 1 else jnp.concatenate(g_stacks, axis=1)
-    w_cat = _cat_taps(w_refs).astype(jnp.float32)
+    w_cat = _cat_taps(w_refs)
     dpad = [jnp.zeros((n, h + 1, w + 1, cin), jnp.float32) for _ in range(4)]
     if _im2col_cin(cin):
         # one (rows, ΣC_out) x (ΣC_out, 7·cin) matmul, then 7 lane slices
@@ -378,10 +381,11 @@ def _dtaps_accumulate(padded, g_groups, o_refs, out_phases, h, w, k, is_first):
         def _(o_ref=o_ref):
             o_ref[...] = jnp.zeros_like(o_ref)
 
+    # operands stay in the activation dtype (f32 accumulation comes from
+    # preferred_element_type — see _dpad_accumulate)
     g_stacks = [
         jnp.concatenate([g[...] for g in g_refs], axis=0)
         .reshape(n_out * rows, g_refs[0].shape[-1])
-        .astype(jnp.float32)
         for g_refs in g_groups
     ]
     # pack sets along lanes: one (cin, Σcout) matmul per tap, split after
@@ -396,9 +400,7 @@ def _dtaps_accumulate(padded, g_groups, o_refs, out_phases, h, w, k, is_first):
             ]
             for p in out_phases
         ]
-        return (
-            jnp.concatenate(sls, axis=0).reshape(n_out * rows, cin).astype(jnp.float32)
-        )
+        return jnp.concatenate(sls, axis=0).reshape(n_out * rows, cin)
 
     if _im2col_cin(cin):
         # one (7·cin, rows) x (rows, Σcout) matmul covering all taps
@@ -475,7 +477,7 @@ def _pc_dx_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype,
     With with_stats, the raw upstream cotangents g are folded with the
     BatchNorm stats cotangents IN-KERNEL (`_geff_fold`) and the per-set
     Σg_eff bias gradient is emitted as an accumulator — removing the
-    XLA-side `_stats_geff` pass + `_dbias` reduction (round-3 trace:
+    XLA-side `_stats_geff` pass + bias-grad reduction (round-3 trace:
     ~1.5 ms/step across the model). With act, the returned dphases are
     w.r.t. the RAW input: dL/dx = dL/dx' · mul · 1{x·mul+add > 0}."""
     n_out = len(out_phases)
@@ -931,15 +933,21 @@ def _up_fold_groups(refs, idx, n_sets, with_stats, out_dtype):
 
 
 def _up_dx_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype,
-                  with_stats=False):
+                  with_stats=False, emit_gsum=None):
     """Upsample + conv dx: refs = n_sets×4 g refs [+ y/gs refs], n_sets
     taps, then 1 dx output (std level-s layout) [+ n_sets gsum
-    accumulators]."""
+    accumulators when emit_gsum]. emit_gsum defaults to with_stats; with
+    the in-kernel fold OFF the incoming g is already the XLA-folded g_eff,
+    so Σg is still the exact bias gradient — emitting it here replaces a
+    whole-cotangent convert+reduce XLA fusion per conv (round-3 trace:
+    ~70-110 us each, 14 sites)."""
+    if emit_gsum is None:
+        emit_gsum = with_stats
     g_groups, idx = _up_fold_groups(refs, 0, n_sets, with_stats, out_dtype)
     w_refs = refs[idx : idx + n_sets]
     o_ref = refs[idx + n_sets]
     cin = w_refs[0].shape[1]
-    if with_stats:
+    if emit_gsum:
         gsum_refs = refs[idx + n_sets + 1 : idx + 2 * n_sets + 1]
         first = pl.program_id(0) == 0
         for si, g_set in enumerate(g_groups):
@@ -1193,30 +1201,6 @@ def _phase_conv_dtaps(phases, g_groups, tap_shapes, corner_mode, out_phases,
     return tuple(outs)
 
 
-def _dbias(g_group):
-    return sum(jnp.sum(g, axis=(0, 1, 2, 3)) for g in g_group)
-
-
-def _dbias_from_stats(g_group, g_st, st):
-    """Bias gradient via the stats identity:
-        Σ_pos g_eff = Σ_pos g_raw + P·gs0 + 2·gs1·Σ_pos y,
-    with Σ_pos y = st[0] saved from the forward. Reducing over the RAW
-    upstream cotangent keeps the XLA `_stats_geff` fold PURE elementwise —
-    a reduction output entangled in that fusion serialized it to ~0.4 ms
-    per wide layer in the round-3 trace, while a standalone reduce over g
-    is bandwidth-bound (~30 µs)."""
-    import math
-
-    sg = sum(
-        jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3)) for g in g_group
-    )
-    if g_st is None:
-        return sg
-    P = float(math.prod(g_group[0].shape[:-1]) * len(g_group))
-    return (sg + P * g_st[0].astype(jnp.float32)
-            + 2.0 * g_st[1].astype(jnp.float32) * st[0])
-
-
 # --------------------------- shared vjp helpers ----------------------------
 
 
@@ -1255,12 +1239,12 @@ def _pcs1_fwd(phases, taps, bias, act_mul, act_add, corner_mode, with_stats,
     out, st = _pcs1(phases, taps, bias, act_mul, act_add, corner_mode,
                     with_stats, needs_dx)
     res = (phases, taps, bias, act_mul, act_add,
-           out if with_stats else None, st)
+           out if with_stats else None)
     return (out, st), res
 
 
 def _pcs1_bwd(corner_mode, with_stats, needs_dx, res, g):
-    phases, taps, bias, act_mul, act_add, out, st = res
+    phases, taps, bias, act_mul, act_add, out = res
     g_out, g_st = g
     act = _mk_act(act_mul, act_add)
     h, w = phases[0].shape[2], phases[0].shape[3]
@@ -1275,12 +1259,7 @@ def _pcs1_bwd(corner_mode, with_stats, needs_dx, res, g):
         return dphases, dtaps.astype(taps.dtype), db, dmul, dadd
     fold = with_stats and _kernel_geff_enabled("pcs1")
     yk = dict(y_groups=[out], gs_list=[g_st]) if fold else {}
-    db_stats = None
     if not fold:
-        if with_stats and bias is not None:
-            # reduce the RAW cotangent + stats identity so the fold below
-            # stays pure elementwise (see _dbias_from_stats)
-            db_stats = _dbias_from_stats(g_out, g_st, st)
         g_out = _stats_geff(g_out, out, g_st if with_stats else None)
     gsums = None
     if needs_dx:
@@ -1294,22 +1273,18 @@ def _pcs1_bwd(corner_mode, with_stats, needs_dx, res, g):
         # XLA cannot DCE an unused pallas custom-call on its own
         dphases = tuple(jnp.zeros_like(p) for p in phases)
         dmul = dadd = (None if act is None else jnp.zeros_like(act[0]))
+    # bias grad rides the dtaps kernel as a Σg accumulator (post-fold g IS
+    # g_eff), unless the dx kernel's fold already produced it
+    want_gsum = bias is not None and gsums is None
     r = _phase_conv_dtaps(
         phases, [g_out], [taps.shape], corner_mode, _ALL, act=act,
-        emit_gsum=fold and gsums is None, **yk,
+        emit_gsum=want_gsum, **yk,
     )
-    if fold and gsums is None:
+    if want_gsum:
         (dtaps,), gsums = r
     else:
         (dtaps,) = r
-    if bias is None:
-        db = None
-    elif gsums is not None:
-        db = gsums[0].astype(bias.dtype)
-    elif db_stats is not None:
-        db = db_stats.astype(bias.dtype)
-    else:
-        db = _dbias(g_out).astype(bias.dtype)
+    db = None if bias is None else gsums[0].astype(bias.dtype)
     return dphases, dtaps.astype(taps.dtype), db, dmul, dadd
 
 
@@ -1348,12 +1323,12 @@ def _ds2_fwd(phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
     ya, yb, sa, sb = _ds2(phases, taps_a, bias_a, taps_b, bias_b,
                           act_mul, act_add, corner_mode, with_stats)
     res = (phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
-           (ya, yb) if with_stats else None, (sa, sb))
+           (ya, yb) if with_stats else None)
     return (ya, yb, sa, sb), res
 
 
 def _ds2_bwd(corner_mode, with_stats, res, g):
-    phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add, ys, sts = res
+    phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add, ys = res
     ga, gb, gsa, gsb = g
     act = _mk_act(act_mul, act_add)
     h, w = phases[0].shape[2], phases[0].shape[3]
@@ -1373,12 +1348,7 @@ def _ds2_bwd(corner_mode, with_stats, res, g):
     fold = with_stats and _kernel_geff_enabled("ds2")
     yk = (dict(y_groups=[(ys[0],), (ys[1],)], gs_list=[gsa, gsb])
           if fold else {})
-    dba_stats = dbb_stats = None
     if with_stats and not fold:
-        if bias_a is not None:
-            dba_stats = _dbias_from_stats([ga], gsa, sts[0])
-        if bias_b is not None:
-            dbb_stats = _dbias_from_stats([gb], gsb, sts[1])
         (ga,) = _stats_geff((ga,), (ys[0],), gsa)
         (gb,) = _stats_geff((gb,), (ys[1],), gsb)
     dphases, dmul, dadd, gsums = _phase_conv_dx(
@@ -1386,19 +1356,19 @@ def _ds2_bwd(corner_mode, with_stats, res, g):
         phases[0].shape[-1], phases[0].dtype, act=act, raw_phases=phases,
         **yk,
     )
-    dta, dtb = _phase_conv_dtaps(
+    # bias grads ride the dtaps kernel as Σg accumulators (post-fold g IS
+    # g_eff) unless the dx kernel's fold already produced them
+    want_gsum = gsums is None and (bias_a is not None or bias_b is not None)
+    r = _phase_conv_dtaps(
         phases, [(ga,), (gb,)], [taps_a.shape, taps_b.shape], corner_mode, (2,),
-        act=act, **yk,
+        act=act, emit_gsum=want_gsum, **yk,
     )
-    if gsums is not None:
-        dba = None if bias_a is None else gsums[0].astype(bias_a.dtype)
-        dbb = None if bias_b is None else gsums[1].astype(bias_b.dtype)
-    elif dba_stats is not None or dbb_stats is not None:
-        dba = None if bias_a is None else dba_stats.astype(bias_a.dtype)
-        dbb = None if bias_b is None else dbb_stats.astype(bias_b.dtype)
+    if want_gsum:
+        (dta, dtb), gsums = r
     else:
-        dba = None if bias_a is None else _dbias([ga]).astype(bias_a.dtype)
-        dbb = None if bias_b is None else _dbias([gb]).astype(bias_b.dtype)
+        dta, dtb = r
+    dba = None if bias_a is None else gsums[0].astype(bias_a.dtype)
+    dbb = None if bias_b is None else gsums[1].astype(bias_b.dtype)
     return (dphases, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype),
             dbb, dmul, dadd)
 
@@ -1477,12 +1447,12 @@ def _upd_fwd(x, taps_a, bias_a, taps_b, bias_b, corner_mode, with_stats):
     ya, yb, sa, sb = _upd(x, taps_a, bias_a, taps_b, bias_b, corner_mode,
                           with_stats)
     res = (x, taps_a, bias_a, taps_b, bias_b,
-           (ya, yb) if with_stats else None, (sa, sb))
+           (ya, yb) if with_stats else None)
     return (ya, yb, sa, sb), res
 
 
 def _upd_bwd(corner_mode, with_stats, res, g):
-    x, taps_a, bias_a, taps_b, bias_b, ys, sts = res
+    x, taps_a, bias_a, taps_b, bias_b, ys = res
     ga, gb, gsa, gsb = g
     B = x.shape[0]
     h, w = x.shape[2], x.shape[3]
@@ -1533,14 +1503,13 @@ def _upd_bwd(corner_mode, with_stats, res, g):
         return (dx, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype),
                 dbb)
     fold = with_stats and _kernel_geff_enabled("upd")
-    dba_stats = dbb_stats = None
     if with_stats and not fold:
-        if bias_a is not None:
-            dba_stats = _dbias_from_stats(ga, gsa, sts[0])
-        if bias_b is not None:
-            dbb_stats = _dbias_from_stats(gb, gsb, sts[1])
         ga = _stats_geff(ga, ys[0], gsa)
         gb = _stats_geff(gb, ys[1], gsb)
+    # bias grads ride the dx kernel as Σg accumulators whether or not the
+    # stats fold is in-kernel (post-_stats_geff g IS g_eff) — no XLA
+    # whole-cotangent reduction per conv
+    need_b = bias_a is not None or bias_b is not None
     per_sample = 5 * h * w * (
         16 * cin + (8 if fold else 4) * sum(couts)) * 4
     k = _choose_k(B, per_sample, 5 * h * w)
@@ -1559,7 +1528,7 @@ def _upd_bwd(corner_mode, with_stats, res, g):
     # upsample transpose, pad transpose [+ in-kernel stats fold + Σg_eff].
     dx_kernel = functools.partial(
         _up_dx_kernel, h=h, w=w, k=k, corner_mode=corner_mode, n_sets=2,
-        out_dtype=dtype, with_stats=fold,
+        out_dtype=dtype, with_stats=fold, emit_gsum=need_b,
     )
     in_specs, args = fold_args(
         [_block((k, 5, h, w, couts[0]))] * 4
@@ -1570,7 +1539,7 @@ def _upd_bwd(corner_mode, with_stats, res, g):
     args += [taps_a, taps_b]
     out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, cin), dtype)]
     out_specs = [_block((k, 5, h, w, cin))]
-    if fold:
+    if need_b:
         for cout in couts:
             out_shape.append(jax.ShapeDtypeStruct((1, cout), jnp.float32))
             out_specs.append(_acc_spec((1, cout)))
@@ -1584,7 +1553,7 @@ def _upd_bwd(corner_mode, with_stats, res, g):
         **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 5),
     )(*args)
     dx = outs[0]
-    gsums = [o.reshape(-1) for o in outs[1:]] if fold else None
+    gsums = [o.reshape(-1) for o in outs[1:]] if need_b else None
 
     # dtaps: one kernel for both sets, accumulated across the batch grid.
     dt_kernel = functools.partial(
@@ -1611,15 +1580,8 @@ def _upd_bwd(corner_mode, with_stats, res, g):
         **_params(flops, B * 5 * h * w * cin * 4),
     )(*args)
 
-    if fold:
-        dba = None if bias_a is None else gsums[0].astype(bias_a.dtype)
-        dbb = None if bias_b is None else gsums[1].astype(bias_b.dtype)
-    elif dba_stats is not None or dbb_stats is not None:
-        dba = None if bias_a is None else dba_stats.astype(bias_a.dtype)
-        dbb = None if bias_b is None else dbb_stats.astype(bias_b.dtype)
-    else:
-        dba = None if bias_a is None else _dbias(ga).astype(bias_a.dtype)
-        dbb = None if bias_b is None else _dbias(gb).astype(bias_b.dtype)
+    dba = None if bias_a is None else gsums[0].astype(bias_a.dtype)
+    dbb = None if bias_b is None else gsums[1].astype(bias_b.dtype)
     return dx, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype), dbb
 
 

@@ -403,6 +403,103 @@ class Trainer:
         batches._gn_prepared_tables = ((prep_mode, self.s), tables)
         return tables
 
+    def gather_train_step(self, state, tables, idx, wt, epoch,
+                          with_gflow=False):
+        """The hot gather step. On single-device runs the step is compiled
+        with XLA-chosen (AUTO) layouts for the resident tables and the
+        tables are device_put into those layouts ONCE — without this, XLA
+        re-lays-out whole tables inside every step (round-3 trace: a
+        0.18 ms/step relayout copy of the full 180-sample target pack).
+        Returns (tables, step_result); callers should thread the returned
+        tables into subsequent calls (same arrays, possibly re-laid-out)."""
+        if with_gflow:  # rare logging path: plain jit, accepts any layout
+            return tables, self._jit_train_step_gather_gflow(
+                state, tables, idx, wt, epoch)
+        if tables is getattr(self, "_gather_auto_src", None):
+            tables = self._gather_auto_tables
+        if tables is not getattr(self, "_gather_auto_tables", None):
+            relaid = self._autolayout_gather(state, tables, idx, wt)
+            if relaid is None:  # sharded or otherwise ineligible
+                return tables, self._jit_train_step_gather(
+                    state, tables, idx, wt, epoch)
+            self._gather_auto_src = tables
+            self._gather_auto_tables = relaid
+            tables = relaid
+        if idx.shape != self._gather_auto_key[-1]:
+            # ragged tail batch: rare — take the plain jit (re-layout copy)
+            return tables, self._jit_train_step_gather(
+                state, tables, idx, wt, epoch)
+        # dispatch through a jit that PINS the probed table layouts AND the
+        # state's in/out layouts to the same formats: C++ fast dispatch (an
+        # AOT Compiled.__call__ costs ~18 ms/step of Python dispatch on the
+        # tunneled backend) and ONE stable cache entry — with unpinned
+        # layouts the donated state's output layout differed from its input
+        # layout, so every chained call re-specialized the jit (measured:
+        # ~1 s/step of compile-cache loads)
+        if state is not getattr(self, "_gather_auto_state", None):
+            state = jax.device_put(state, self._gather_auto_state_put)
+        out = self._gather_auto_jit(state, tables, idx, wt, epoch)
+        self._gather_auto_state = out[0]
+        return tables, out
+
+    def _autolayout_gather(self, state, tables, idx, wt):
+        """Compile the gather train step with AUTO table layouts; returns
+        the tables device_put into the chosen formats (or None when the
+        path doesn't apply, e.g. sharded tables)."""
+        import os
+
+        from jax.experimental.layout import Format, Layout
+
+        if os.environ.get("GENICONET_AUTO_LAYOUT", "1") != "1":
+            return None
+        if self.mesh is not None:  # sharded tables: GSPMD owns placement
+            return None
+        leaves = jax.tree.leaves(tables)
+        key = (jax.tree.structure(tables),
+               tuple((a.shape, str(a.dtype)) for a in leaves), idx.shape)
+        if getattr(self, "_gather_auto_key", None) != key:
+            jit_auto = jax.jit(
+                partial(self._train_step_gather, with_gflow=False),
+                donate_argnums=(0,),
+                in_shardings=(None, Format(Layout.AUTO), None, None, None),
+            )
+            sds = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tables)
+            compiled = jit_auto.lower(state, sds, idx, wt, 0).compile()
+            # the AOT executable is only the layout PROBE — hot dispatch
+            # goes through a layout-pinned jit (see gather_train_step)
+            self._gather_auto_fmts = compiled.input_formats[0][1]
+            # state formats: the probe's OUTPUT formats, pinned on both the
+            # input and output side so chained calls reach a fixed point.
+            # Typed PRNG-key leaves stay unpinned in the jit annotations
+            # (their format describes the physical uint32 array; annotating
+            # the logical rank-0 aval is rejected) but ARE committed to the
+            # device on entry — an uncommitted key leaf made the first
+            # call's signature differ from the fixed point, costing one
+            # extra full-program specialization.
+            def _is_key(leaf):
+                return jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+
+            self._gather_auto_state_fmts = jax.tree.map(
+                lambda leaf, fmt: None if _is_key(leaf) else fmt,
+                state, compiled.output_formats[0],
+            )
+            self._gather_auto_state_put = jax.tree.map(
+                lambda leaf, fmt: fmt.sharding if _is_key(leaf) else fmt,
+                state, compiled.output_formats[0],
+            )
+            self._gather_auto_jit = jax.jit(
+                partial(self._train_step_gather, with_gflow=False),
+                donate_argnums=(0,),
+                in_shardings=(self._gather_auto_state_fmts,
+                              self._gather_auto_fmts, None, None, None),
+                out_shardings=(self._gather_auto_state_fmts, None, None,
+                               None),
+            )
+            self._gather_auto_state = None
+            self._gather_auto_key = key
+        return jax.device_put(tables, self._gather_auto_fmts)
+
     def _eval_step(self, state: TrainState, x, y, wt, epoch):
         rng = jax.random.fold_in(state.rng, 0x7FFFFFFF)
         if self._shard_map:
@@ -476,9 +573,8 @@ class Trainer:
             )
             if gather:
                 idx, wt = batch
-                step_fn = (self._jit_train_step_gather_gflow if want_gflow
-                           else self._jit_train_step_gather)
-                state, metrics, misc, gflow = step_fn(state, tables, idx, wt, epoch)
+                tables, (state, metrics, misc, gflow) = self.gather_train_step(
+                    state, tables, idx, wt, epoch, with_gflow=want_gflow)
             else:
                 x, y, wt = batch
                 step_fn = (self._jit_train_step_gflow if want_gflow

@@ -24,8 +24,10 @@ def main():
     from bench import build
 
     trainer, state, batches = build()
-    x, y, wt = next(iter(batches.epoch()))
-    lowered = trainer._jit_train_step.lower(state, x, y, wt, 0)
+    # lower the SAME program the bench/profiler time: the in-jit-gather step
+    tables = trainer.prepared_tables(batches)
+    idx, wt = next(iter(batches.epoch_indices()))
+    lowered = trainer._jit_train_step_gather.lower(state, tables, idx, wt, 0)
     compiled = lowered.compile()
     txt = compiled.as_text()
     with open(a.out, "w") as f:

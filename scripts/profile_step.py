@@ -31,13 +31,13 @@ def run_trace(out_dir, steps):
     tables = trainer.prepared_tables(batches)
     idx, wt = next(iter(batches.epoch_indices()))
     # warmup/compile — the same fused-gather hot step bench.py times
-    state, metrics, _, _ = trainer._jit_train_step_gather(
+    tables, (state, metrics, _, _) = trainer.gather_train_step(
         state, tables, idx, wt, 0)
     float(jax.device_get(metrics["total"]))
     t0 = time.perf_counter()
     jax.profiler.start_trace(out_dir)
     for _ in range(steps):
-        state, metrics, _, _ = trainer._jit_train_step_gather(
+        tables, (state, metrics, _, _) = trainer.gather_train_step(
             state, tables, idx, wt, 0)
     float(jax.device_get(metrics["total"]))
     jax.profiler.stop_trace()
