@@ -774,8 +774,9 @@ def _bwd(subdivisions, corner_mode, stride, with_stats, res, g):
 
     fold = with_stats and _kernel_geff_enabled("std")
     if with_stats and not fold:
-        gy = _geff_one(gy, y, gst[0].astype(jnp.float32),
-                       gst[1].astype(jnp.float32), gy.dtype)
+        from geniconet_tpu.ops.pallas.phase_kernel import _stats_geff
+
+        (gy,) = _stats_geff((gy,), (y,), gst)
     yk = dict(y=y, gs=gst) if fold else {}
     # bias grad rides the dx kernel as a Σg accumulator (post-fold gy IS
     # g_eff) — no XLA whole-cotangent convert+reduce per conv

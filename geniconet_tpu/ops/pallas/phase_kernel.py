@@ -48,6 +48,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -86,11 +87,23 @@ def phase_vmem_ok(h: int, w: int, cin: int, cout: int, n_sets: int = 1) -> bool:
     return est < 90 * 1024 * 1024
 
 
+def _k_budget_mb() -> int:
+    """Per-program VMEM budget for _choose_k (MB). Round-3 hardware data:
+    a standalone k sweep at the decoder's widest pcs1 (36,5,16,32,64)
+    favored k=3, but the WHOLE-MODEL bench regressed 2079 -> 2051 meshes/s
+    with a 28MB budget (bigger blocks pipeline worse between kernels), so
+    the default stays 10MB. GENICONET_K_BUDGET_MB overrides for hardware
+    bisection; k>=6 at that shape fails Mosaic's 100MB scoped-VMEM check."""
+    import os
+
+    return int(os.environ.get("GENICONET_K_BUDGET_MB", "10"))
+
+
 def _choose_k(B, per_sample_bytes, rows_per_sample):
     """Samples per grid program: target >=8k matmul rows, bounded by a
     VMEM budget and divisibility of B."""
     k_rows = max(1, 8192 // max(rows_per_sample, 1))
-    k_mem = max(1, (10 * 1024 * 1024) // max(per_sample_bytes, 1))
+    k_mem = max(1, (_k_budget_mb() * 1024 * 1024) // max(per_sample_bytes, 1))
     k_cap = min(k_rows, k_mem, B)
     for k in range(k_cap, 0, -1):
         if B % k == 0:
@@ -273,8 +286,12 @@ def _im2col_cin(cin: int) -> bool:
     when cin is tiny (the encoder input conv has cin=3), and the packed
     7·cin still fits one 128-lane tile — measured ~3x on the cin=3 layer.
     Large cin keeps the 7-matmul form (the lane concat costs more than the
-    larger K saves, see conv_kernel.py's im2col note)."""
-    return 7 * cin <= 128
+    larger K saves, see conv_kernel.py's im2col note).
+    GENICONET_IM2COL_MAX overrides the 7·cin threshold for hardware
+    sweeps (e.g. 512 turns the C=64 decoder convs into K=448 matmuls)."""
+    import os
+
+    return 7 * cin <= int(os.environ.get("GENICONET_IM2COL_MAX", "128"))
 
 
 def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
@@ -1204,17 +1221,53 @@ def _phase_conv_dtaps(phases, g_groups, tap_shapes, corner_mode, out_phases,
 # --------------------------- shared vjp helpers ----------------------------
 
 
+def _fold_geff_kernel(*refs, n):
+    gs_ref = refs[2 * n]
+    gs0 = gs_ref[0].astype(jnp.float32)
+    gs1 = gs_ref[1].astype(jnp.float32)
+    for i in range(n):
+        g = refs[i][...]
+        refs[2 * n + 1 + i][...] = _geff_one(g, refs[n + i][...], gs0, gs1,
+                                             g.dtype)
+
+
 def _stats_geff(g_group, y_group, g_st):
-    """XLA-side stats-cotangent fold over a phase group (`_geff_one` per
-    phase). One elementwise pass that fuses with the surrounding bwd ops;
-    zero-cotangent stats cost nothing after DCE."""
+    """Stats-cotangent fold over a phase group (`_geff_one` per phase),
+    g_eff = g + gs0 + 2·gs1·y. Runs as ONE tiny Pallas elementwise kernel:
+    XLA's kLoop fusion of the same expression ran at ~18% of HBM bandwidth
+    (~0.4 ms per wide site, 4 sites in the round-3 trace); the kernel form
+    is bit-identical (same f32 ops) and ~3x faster standalone — but the
+    whole-model bench REGRESSED with it (2079 -> 2057 meshes/s): the XLA
+    fusions overlap with adjacent kernel DMA, while extra custom-call
+    launches serialize. Default OFF; GENICONET_PALLAS_FOLD=1 enables for
+    hardware experiments. Zero-cotangent stats cost nothing after DCE
+    (the fold never runs then)."""
+    import os
+
     if g_st is None:
         return tuple(g_group)
-    gs0 = g_st[0].astype(jnp.float32)
-    gs1 = g_st[1].astype(jnp.float32)
-    return tuple(
-        _geff_one(g, y, gs0, gs1, g.dtype) for g, y in zip(g_group, y_group)
-    )
+    if os.environ.get("GENICONET_PALLAS_FOLD", "0") != "1":
+        gs0 = g_st[0].astype(jnp.float32)
+        gs1 = g_st[1].astype(jnp.float32)
+        return tuple(
+            _geff_one(g, y, gs0, gs1, g.dtype) for g, y in zip(g_group, y_group)
+        )
+    n = len(g_group)
+    g0 = g_group[0]
+    B, C = g0.shape[0], g0.shape[-1]
+    inner = g0.shape[1:]
+    per_sample = int(np.prod(inner)) * 4 * (3 * n)
+    k = _choose_k(B, per_sample, int(np.prod(inner[:-1])))
+    bspec = _block((k,) + tuple(inner))
+    outs = pl.pallas_call(
+        functools.partial(_fold_geff_kernel, n=n),
+        grid=(B // k,),
+        in_specs=[bspec] * (2 * n) + [_acc_spec((2, C))],
+        out_specs=[bspec] * n,
+        out_shape=[jax.ShapeDtypeStruct(g.shape, g.dtype) for g in g_group],
+        **_params(0, B * int(np.prod(inner)) * g0.dtype.itemsize * 3 * n),
+    )(*g_group, *y_group, jnp.asarray(g_st))
+    return tuple(outs)
 
 
 def _mk_act(act_mul, act_add):
