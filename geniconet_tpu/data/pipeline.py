@@ -167,6 +167,29 @@ class Batches:
                     wt = np.concatenate([wt, np.zeros(pad, np.float32)])
             yield idx, wt
 
+    def epoch_order(self):
+        """One epoch's batch plan as dense arrays: (order (nb, bs) int32,
+        wts (nb, bs) f32, tail) — the device-resident scan path ships the
+        whole plan to the device in ONE transfer and runs the epoch as a
+        single dispatch (`Trainer._train_epoch_scan`). `tail` is the ragged
+        final (idx, wt) pair when the dataset is not a batch multiple (run
+        via the per-step path), else None. Consumes the SAME shuffle stream
+        as `epoch_indices`, so the two paths see identical batch orders."""
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+        bs = self.batch_size
+        nb_full = n // bs
+        full = order[: nb_full * bs].reshape(nb_full, bs).astype(np.int32)
+        wts = np.ones((nb_full, bs), np.float32)
+        tail = None
+        rest = order[nb_full * bs :]
+        if len(rest) and len(self) > nb_full:
+            tail = (rest.astype(np.int32), np.ones(len(rest), np.float32))
+        return full, wts, tail
+
     def device_tables(self):
         """(dev_inputs, dev_targets) for in-jit gathering (device-resident)."""
         di, dt, _ = self._device_tables()
