@@ -62,6 +62,13 @@ def reparameterize(rng: jax.Array, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.
     return eps * std + mu
 
 
+def _is_packed_phases(x) -> bool:
+    """Whether ``x`` is the lane-packed 4-phase input (B, 5, h, w, 4*3) the
+    device-resident pipeline produces (vs a chart-split grid, which is 4-D
+    before split_charts or 5-D with C=3 after)."""
+    return getattr(x, "ndim", 0) == 5 and x.shape[-1] == 12
+
+
 class _Encoder(nn.Module):
     subdivisions: int
     widths: tuple[int, ...]  # e.g. (64, 128, 256, 256) AE / (64, 128, 256) VAE
@@ -88,8 +95,15 @@ class _Encoder(nn.Module):
         s = self.subdivisions
         w0 = self.widths[0]
         phases_in = isinstance(x, (tuple, list))
-        ph2, pw2 = (x[0].shape[2], x[0].shape[3]) if phases_in else (
-            x.shape[2] // 2, x.shape[3] // 2)
+        # lane-packed phases (B, 5, h, w, 4·3): the pipeline packs the 4
+        # input phases into 12 lanes so the tiny-cin tensors don't waste
+        # 125/128 lanes of every transfer (ops/pallas/phase_kernel.py)
+        packed_in = (not phases_in) and x.ndim == 5 and x.shape[-1] == 12
+        if packed_in:
+            ph2, pw2 = x.shape[2], x.shape[3]
+        else:
+            ph2, pw2 = (x[0].shape[2], x[0].shape[3]) if phases_in else (
+                x.shape[2] // 2, x.shape[3] // 2)
         # bn_in-apply + relu become down0's first-kernel prologue on the
         # fused path (the activated s-level tensor never reaches HBM)
         from geniconet_tpu.nn.layers import pallas_block_enabled
@@ -108,9 +122,15 @@ class _Encoder(nn.Module):
             # tensor is never interleaved or relayouted in HBM (round-3
             # trace: the standard-layout form paid ~0.56 ms/step in copies)
             conv_in = IcoConvS2S(w0, s, stride=1, name="conv_in", **kw)
-            t_in, b_in = conv_in(x[0] if phases_in else x, get_params=True)
-            xp = (tuple(p.astype(self.dtype) for p in x) if phases_in
-                  else phase_split(x.astype(self.dtype)))
+            shape_ref = (x[0] if phases_in
+                         else (x[..., :3] if packed_in else x))
+            t_in, b_in = conv_in(shape_ref, get_params=True)
+            if phases_in:
+                xp = tuple(p.astype(self.dtype) for p in x)
+            elif packed_in:
+                xp = (x.astype(self.dtype),)  # 1-tuple marks lane-packed
+            else:
+                xp = phase_split(x.astype(self.dtype))
             if train:
                 x, st = fused_phase_conv_s1(
                     xp, t_in, b_in, self.corner_mode, with_stats=True,
@@ -125,6 +145,9 @@ class _Encoder(nn.Module):
         else:
             if phases_in:
                 x = phase_merge(x)
+            elif packed_in:
+                x = phase_merge(tuple(
+                    x[..., 3 * p : 3 * (p + 1)] for p in range(4)))
             x = IcoConvS2S(w0, s, stride=1, name="conv_in", **kw)(x)
             x = IcoBatchNorm(use_running_average=not train, name="bn_in", **bn)(x)
             x = nn.relu(x)
@@ -259,8 +282,9 @@ class IcoAE(nn.Module):
         """grid (B, 5·2^s, 2^(s+1), 3) -> latent (B, 5·2^(s-3), 2^(s-2), w2).
 
         ``x`` may also be a 4-tuple of pre-split parity phases
-        (B, 5, 2^(s-1), 2^s, 3) — the device-resident fast path."""
-        xc = x if isinstance(x, (tuple, list)) else split_charts(x, self.subdivisions)
+        (B, 5, 2^(s-1), 2^s, 3) or ONE lane-packed (B, 5, 2^(s-1), 2^s, 12)
+        phase array — the device-resident fast paths."""
+        xc = x if isinstance(x, (tuple, list)) or _is_packed_phases(x)             else split_charts(x, self.subdivisions)
         z = self.encoder(xc, train=train)
         return merge_charts(z)
 
@@ -275,8 +299,9 @@ class IcoAE(nn.Module):
         loss-fused AE path: on the fused route the reconstruction never
         reaches HBM (fused_pair_head_mse). Equals
         sum((grid_to_vertices(self(x)) - target_pos)**2) per sample.
-        ``x`` may be a grid or a 4-tuple of pre-split phases (see encode)."""
-        xc = x if isinstance(x, (tuple, list)) else split_charts(x, self.subdivisions)
+        ``x`` may be a grid, a 4-tuple of pre-split phases, or a lane-packed
+        phase array (see encode)."""
+        xc = x if isinstance(x, (tuple, list)) or _is_packed_phases(x)             else split_charts(x, self.subdivisions)
         z = self.encoder(xc, train=train)
         return self.decoder(z, train=train, target=(tpack, tpoles))
 

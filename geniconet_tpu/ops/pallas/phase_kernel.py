@@ -451,22 +451,54 @@ def _dtaps_accumulate(padded, g_groups, o_refs, out_phases, h, w, k, is_first):
 # ---------------------------------------------------------------------------
 
 
-def _pc_fwd_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype,
-                   has_act, with_stats):
-    """Phase-input conv forward: refs = 4 phases, [act mul, add],
-    n_sets×(taps, bias), then n_sets×len(out_phases) outputs and
-    [n_sets (2, C_out) stats accumulators]."""
+def _unpack_phases(refs, packed, h, w, k):
+    """Input parse shared by the phase fwd/dtaps kernels: 4 phase refs, or
+    ONE lane-packed (k, 5, h, w, 4·cin) ref sliced into 4 phases. Each
+    packed phase is lane-ROLLED to offset 0 before the [0:cin] slice — a
+    direct slice at lane offset i·cin carries a nonzero-offset layout that
+    Mosaic's downstream halo concat rejects ('result/input offset mismatch
+    on non-concat dimension')."""
+    if packed:
+        cin4 = refs[0].shape[-1]
+        cin = cin4 // 4
+        xp = refs[0][...].reshape(k * 5, h, w, cin4)
+        dtype = xp.dtype
+        # Lane-extraction dance: a direct [i*cin:(i+1)*cin] slice carries a
+        # lane-offset layout that the downstream halo concat rejects, and
+        # Mosaic folds a roll+[0:cin] back into the same offset slice — so
+        # rotate in f32 (the lane rotate is 32-bit only) and bounce each
+        # phase through a VMEM scratch ref, which pins an offset-0 layout.
+        scratch = refs[-3:]
+        xp32 = xp.astype(jnp.float32)
+        out = [xp[..., :cin]]
+        for i in range(1, 4):
+            scratch[i - 1][...] = (
+                pltpu.roll(xp32, cin4 - i * cin, axis=3)[..., :cin]
+                .astype(dtype))
+            out.append(scratch[i - 1][...])
+        return tuple(out), 1
     cin = refs[0].shape[-1]
-    phases = tuple(r[...].reshape(k * 5, h, w, cin) for r in refs[:4])
-    idx = 4
+    return tuple(r[...].reshape(k * 5, h, w, cin) for r in refs[:4]), 4
+
+
+def _pc_fwd_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype,
+                   has_act, with_stats, packed=False):
+    """Phase-input conv forward: refs = 4 phases (or ONE lane-packed
+    (…, 4·cin) array when packed — a 3-channel phase stored separately
+    wastes 125/128 lanes in every HBM/VMEM transfer; the encoder front
+    packs its 4 input phases into 12 lanes and slices here), [act mul,
+    add], n_sets×(taps, bias), then n_sets×len(out_phases) outputs and
+    [n_sets (2, C_out) stats accumulators]."""
+    phases, idx = _unpack_phases(refs, packed, h, w, k)
     if has_act:
-        mul, add = refs[4][0], refs[5][0]
+        mul, add = refs[idx][0], refs[idx + 1][0]
         phases = tuple(_act_apply(p, mul, add) for p in phases)
-        idx = 6
+        idx += 2
     w_refs = [refs[idx + 2 * i] for i in range(n_sets)]
     b_refs = [refs[idx + 1 + 2 * i] for i in range(n_sets)]
     outs = refs[idx + 2 * n_sets : idx + 2 * n_sets + n_sets * len(out_phases)]
-    stat_outs = refs[idx + 2 * n_sets + n_sets * len(out_phases) :]
+    a = idx + 2 * n_sets + n_sets * len(out_phases)
+    stat_outs = refs[a : a + n_sets]  # bounded: packed-mode scratch follows
     padded = _phase_pad_k(phases, k, h, w, corner_mode)
     results = _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype)
     i = 0
@@ -564,19 +596,18 @@ def _pc_dx_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, out_dtype,
 
 
 def _pc_dtaps_kernel(*refs, h, w, k, corner_mode, out_phases, n_sets, has_act,
-                     with_stats=False, emit_gsum=False):
+                     with_stats=False, emit_gsum=False, packed=False):
     """Phase-input conv dtaps: refs = 4 phases, [act mul, add], n_sets groups
     of g refs, [n_sets groups of y refs + n_sets gs refs], then n_sets
     (7, cin, cout) accumulator outputs [+ n_sets (1, cout) gsum accumulators
     when emit_gsum — the bias grad for convs that skip the dx kernel]."""
     n_out = len(out_phases)
-    cin = refs[0].shape[-1]
-    phases = tuple(r[...].reshape(k * 5, h, w, cin) for r in refs[:4])
-    idx = 4
+    phases, idx = _unpack_phases(refs, packed, h, w, k)
+    cin = phases[0].shape[-1]
     if has_act:
-        mul, add = refs[4][0], refs[5][0]
+        mul, add = refs[idx][0], refs[idx + 1][0]
         phases = tuple(_act_apply(p, mul, add) for p in phases)
-        idx = 6
+        idx += 2
     g_groups = [
         refs[idx + i * n_out : idx + (i + 1) * n_out] for i in range(n_sets)
     ]
@@ -1047,7 +1078,8 @@ def _phase_conv_fwd(phases, tap_sets, corner_mode, out_phases, act=None,
     per-set (2, C_out) stats or None)."""
     B = phases[0].shape[0]
     h, w = phases[0].shape[2], phases[0].shape[3]
-    cin = phases[0].shape[-1]
+    cin = tap_sets[0][0].shape[1]
+    packed = len(phases) == 1 and phases[0].shape[-1] == 4 * cin
     dtype = phases[0].dtype
     n_sets = len(tap_sets)
     couts = [t.shape[-1] for t, _ in tap_sets]
@@ -1056,9 +1088,14 @@ def _phase_conv_fwd(phases, tap_sets, corner_mode, out_phases, act=None,
     kernel = functools.partial(
         _pc_fwd_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
         out_phases=out_phases, n_sets=n_sets, out_dtype=dtype,
-        has_act=act is not None, with_stats=with_stats,
+        has_act=act is not None, with_stats=with_stats, packed=packed,
     )
-    in_specs = [_block((k, 5, h, w, cin))] * 4
+    if packed:
+        in_specs = [_block((k, 5, h, w, 4 * cin))]
+        scratch = [pltpu.VMEM((k * 5, h, w, cin), dtype)] * 3
+    else:
+        in_specs = [_block((k, 5, h, w, cin))] * 4
+        scratch = []
     args = list(phases)
     if act is not None:
         in_specs += [_block((1, cin))] * 2
@@ -1083,6 +1120,7 @@ def _phase_conv_fwd(phases, tap_sets, corner_mode, out_phases, act=None,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch,
         **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 4),
     )(*args)
     n_out = len(out_phases)
@@ -1166,7 +1204,8 @@ def _phase_conv_dtaps(phases, g_groups, tap_shapes, corner_mode, out_phases,
     (for convs that skip the dx kernel, e.g. the encoder front)."""
     B = phases[0].shape[0]
     h, w = phases[0].shape[2], phases[0].shape[3]
-    cin = phases[0].shape[-1]
+    cin = tap_shapes[0][1]
+    packed = len(phases) == 1 and phases[0].shape[-1] == 4 * cin
     n_sets = len(g_groups)
     with_stats = y_groups is not None
     couts = [s[-1] for s in tap_shapes]
@@ -1176,9 +1215,14 @@ def _phase_conv_dtaps(phases, g_groups, tap_shapes, corner_mode, out_phases,
     kernel = functools.partial(
         _pc_dtaps_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
         out_phases=out_phases, n_sets=n_sets, has_act=act is not None,
-        with_stats=with_stats, emit_gsum=emit_gsum,
+        with_stats=with_stats, emit_gsum=emit_gsum, packed=packed,
     )
-    in_specs = [_block((k, 5, h, w, cin))] * 4
+    if packed:
+        in_specs = [_block((k, 5, h, w, 4 * cin))]
+        scratch = [pltpu.VMEM((k * 5, h, w, cin), phases[0].dtype)] * 3
+    else:
+        in_specs = [_block((k, 5, h, w, cin))] * 4
+        scratch = []
     args = list(phases)
     if act is not None:
         in_specs += [_block((1, cin))] * 2
@@ -1210,6 +1254,7 @@ def _phase_conv_dtaps(phases, g_groups, tap_shapes, corner_mode, out_phases,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch,
         **_params(flops, B * 5 * h * w * cin * 4),
     )(*args)
     if emit_gsum:
@@ -1301,6 +1346,10 @@ def _pcs1_bwd(corner_mode, with_stats, needs_dx, res, g):
     g_out, g_st = g
     act = _mk_act(act_mul, act_add)
     h, w = phases[0].shape[2], phases[0].shape[3]
+    packed = len(phases) == 1 and phases[0].shape[-1] == 4 * taps.shape[1]
+    if packed and needs_dx:
+        raise NotImplementedError(
+            "packed-phase input is for data-fed convs (needs_dx=False)")
     if needs_dx and _bwd_vmem_ok(h, w, phases[0].shape[-1], [taps.shape[-1]],
                                  4, phases[0].shape[0], "pcs1"):
         dphases, (dtaps,), (gsum,), dmul, dadd = _phase_conv_bwd(
@@ -1347,6 +1396,11 @@ _pcs1.defvjp(_pcs1_fwd, _pcs1_bwd)
 def fused_phase_conv_s1(phases, taps, bias, corner_mode="average", act=None,
                         with_stats=False, needs_dx=True):
     """Stride-1 hex conv in phase form: 4 phases in -> 4 phases out.
+
+    `phases` may also be a 1-tuple of ONE lane-packed (B, 5, h, w, 4·cin)
+    array (phase p at lanes [p·cin, (p+1)·cin)) — for tiny-cin data convs
+    (the encoder front, cin=3) four separate phase tensors waste 125/128
+    lanes of every HBM transfer; requires needs_dx=False.
 
     act: optional (mul, add) fp32 (C_in,) — in-kernel BN-apply+ReLU prologue.
     with_stats: also return (2, C_out) fp32 [sum, sumsq] of the output.

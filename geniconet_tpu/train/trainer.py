@@ -353,20 +353,31 @@ class Trainer:
         )
         return new_state, metrics, misc, gflow
 
-    def _gather_batch(self, tables, idx):
-        if "xph" in tables:
-            # pre-split phases + pre-packed targets (fused-MSE fast path):
-            # the per-step phase slice of the raw input and the target pack
-            # (~0.7 ms/step of copies+fusions in the round-3 trace) were done
-            # ONCE at table-preparation time.
+    def _gather_batch(self, tables, idx, split_packed=False):
+        if "xpack" in tables:
+            # lane-packed phases (B, 5, h, w, 12) + pre-packed targets
+            # (fused-MSE fast path): the per-step phase slice of the raw
+            # input and the target pack were done ONCE at table-preparation
+            # time, and the 4 C=3 phases ride ONE array so the gather
+            # doesn't pay 4x the 128-lane padding of a 3-channel minor dim
+            x = tables["xpack"][idx]
+            if split_packed:
+                # whole-epoch scan route: the packed-input Mosaic kernel
+                # inside lax.scan deterministically INTERNAL-crashes the
+                # tunneled backend (per-step is fine) — hand the kernels
+                # the 4-tuple form via an XLA lane slice instead
+                x = tuple(x[..., 3 * i : 3 * (i + 1)] for i in range(4))
+            y = (tables["tpack"][idx], tables["tpoles"][idx])
+            return x, y
+        if "xph" in tables:  # pre-round-3 split-table layout
             x = tuple(p[idx] for p in tables["xph"])
             y = (tables["tpack"][idx], tables["tpoles"][idx])
             return x, y
         return tables["x"][idx], tables["y"][idx]
 
     def _train_step_gather(self, state: TrainState, tables, idx, wt, epoch,
-                           with_gflow=False):
-        x, y = self._gather_batch(tables, idx)
+                           with_gflow=False, split_packed=False):
+        x, y = self._gather_batch(tables, idx, split_packed)
         return self._train_step(state, x, y, wt, epoch, with_gflow=with_gflow)
 
     def _eval_step_gather(self, state: TrainState, tables, idx, wt, epoch):
@@ -399,8 +410,9 @@ class Trainer:
             @jax.jit
             def prep(di, dt):
                 xph = phase_split(split_charts(di, s))
+                xpack = jnp.concatenate(xph, axis=-1)  # (N, 5, h, w, 12)
                 tpack, tpoles = pack_target_phases(dt, s)
-                return {"xph": xph, "tpack": tpack, "tpoles": tpoles}
+                return {"xpack": xpack, "tpack": tpack, "tpoles": tpoles}
 
             tables = prep(di, dt)
         else:
@@ -565,13 +577,13 @@ class Trainer:
         cost ~1.2 ms/step on the tunneled backend. The first step is
         unrolled to give the misc carry (VAE (mu, logvar)) its shapes."""
         state, m0, misc, _ = self._train_step_gather(
-            state, tables, order[0], wts[0], epoch)
+            state, tables, order[0], wts[0], epoch, split_packed=True)
 
         def body(carry, ow):
             st, _ = carry
             idx, wt = ow
             st, metrics, mc, _ = self._train_step_gather(
-                st, tables, idx, wt, epoch)
+                st, tables, idx, wt, epoch, split_packed=True)
             return (st, mc), metrics
 
         (state, misc), ms = jax.lax.scan(

@@ -221,3 +221,31 @@ def test_kernel_geff_fold_matches_xla_fold(fam, monkeypatch):
     for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_fold)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("corner_mode", ["average", "zeros"])
+def test_phase_conv_s1_packed_input(corner_mode):
+    """Lane-packed (1-tuple (B,5,h,w,4*cin)) input == 4-tuple input, fwd
+    and taps/bias grads (the encoder-front path; needs_dx=False)."""
+    phases, _ = _phases(3, C=3, seed=5)
+    taps, bias = _taps(3, 6, 7)
+    xpack = jnp.concatenate(phases, axis=-1)
+
+    out_t, st_t = pk.fused_phase_conv_s1(
+        phases, taps, bias, corner_mode, with_stats=True, needs_dx=False)
+    out_p, st_p = pk.fused_phase_conv_s1(
+        (xpack,), taps, bias, corner_mode, with_stats=True, needs_dx=False)
+    for a, b in zip(out_t, out_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(st_t), np.asarray(st_p))
+
+    def loss(form, taps, bias):
+        out, st = pk.fused_phase_conv_s1(
+            form, taps, bias, corner_mode, with_stats=True, needs_dx=False)
+        return sum(jnp.sum(o**2) for o in out) + jnp.sum(st)
+
+    gt = jax.grad(loss, argnums=(1, 2))(phases, taps, bias)
+    gp = jax.grad(loss, argnums=(1, 2))((xpack,), taps, bias)
+    for a, b in zip(jax.tree.leaves(gt), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
