@@ -34,6 +34,15 @@ CONFIGS = [
     ("down0_only", "down0"),
     ("down1_only", "down1"),
     ("all", ""),  # control: the known-crashing full set, re-verified last
+    # Round-3 phase 1 verdict: every single block and each half passes;
+    # only the full set crashes -> threshold/interaction, not a kernel.
+    # Phase 2: all-minus-one — if some pass, the removed block is
+    # load-bearing; if all crash, it is purely a program-size threshold.
+    ("all_minus_convin", "down0,down1,up0,up1"),
+    ("all_minus_down0", "conv_in,down1,up0,up1"),
+    ("all_minus_down1", "conv_in,down0,up0,up1"),
+    ("all_minus_up0", "conv_in,down0,down1,up1"),
+    ("all_minus_up1", "conv_in,down0,down1,up0"),
 ]
 
 _STEP = r"""
