@@ -151,12 +151,14 @@ def main():
         jax.device_get(tiny)
         rtt.append(time.perf_counter() - t0)
     rtt_ms = float(_np.median(rtt) * 1e3)
-    # (c3) device+dispatch time per decode: 100 chained calls, one sync.
+    # (c3) device+dispatch time per decode: 200 chained calls, one sync
+    # (no RTT subtraction — at 200 calls the single end sync is <1% and
+    # the subtraction was the noise source across bench runs)
     t0 = time.perf_counter()
-    for _ in range(100):
+    for _ in range(200):
         o = _decode(variables, z)
     jax.device_get(o)
-    dev_ms = (time.perf_counter() - t0 - _np.median(rtt)) / 100 * 1e3
+    dev_ms = (time.perf_counter() - t0) / 200 * 1e3
     print(
         f"p50 single-mesh decode latency: {p50_ms:.3f} ms end-to-end "
         f"(sync RTT alone {rtt_ms:.3f} ms; device+dispatch {dev_ms:.3f} "

@@ -33,15 +33,31 @@ __all__ = ["IcoConvS2S", "IcoBatchNorm", "DownBlock", "UpBlock",
            "hex_uniform_init", "pallas_block_enabled"]
 
 
+_DEFAULT_PALLAS_BLOCKS: Optional[str] = None
+
+
+def set_default_pallas_blocks(blocks: Optional[str]) -> None:
+    """Process-level default for `pallas_block_enabled` (overridden by the
+    GENICONET_PALLAS_BLOCKS env var). The Trainer sets this per config —
+    e.g. the VAE-bs36 crash workaround routes conv_in through XLA
+    (artifacts/vae36_bisect.json: every 4-of-5 fused-block subset passes,
+    only the full set crashes the tunneled backend)."""
+    global _DEFAULT_PALLAS_BLOCKS
+    _DEFAULT_PALLAS_BLOCKS = blocks
+
+
 def pallas_block_enabled(name: Optional[str]) -> bool:
     """Per-block Pallas routing override for hardware bisection: when
     GENICONET_PALLAS_BLOCKS is set (comma list, e.g. 'down0,up2,conv_in'),
     only the named blocks keep their fused kernels; everything else falls
-    back to XLA. Unset (default) = all blocks fused. Used to bisect the
-    VAE-bs36 backend crash (ROADMAP 'Known issue')."""
+    back to XLA. Unset (default) = all blocks fused, unless the trainer
+    installed a config default via `set_default_pallas_blocks`. Used to
+    bisect the VAE-bs36 backend crash (ROADMAP 'Known issue')."""
     import os
 
     v = os.environ.get("GENICONET_PALLAS_BLOCKS", "")
+    if not v:
+        v = _DEFAULT_PALLAS_BLOCKS or ""
     if not v:
         return True
     return (name or "") in {s.strip() for s in v.split(",")}

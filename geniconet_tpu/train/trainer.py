@@ -146,6 +146,18 @@ class Trainer:
         self.s = cfg.model.subdivisions
         self.factors = cfg.loss_factors
         self.is_vae = cfg.model.is_vae
+        # VAE-bs36 crash workaround (artifacts/vae36_bisect.json): the full
+        # 5-block fused VAE program deterministically crashes the tunneled
+        # v5e at execution, while EVERY 4-of-5 subset passes — route
+        # conv_in (the cheapest block) through XLA for that config. The
+        # GENICONET_PALLAS_BLOCKS env var still overrides.
+        from geniconet_tpu.nn.layers import set_default_pallas_blocks
+
+        if (self.is_vae and self.model.use_pallas
+                and cfg.train.batch_size >= 24):
+            set_default_pallas_blocks("down0,down1,up0,up1")
+        else:
+            set_default_pallas_blocks(None)
         # AE + pos-only factors + fused kernels: route the loss through the
         # head+MSE kernel (the reconstruction never reaches HBM). Hardware-
         # validated fwd+bwd at the headline shapes (scripts/probe_phmse.py;
