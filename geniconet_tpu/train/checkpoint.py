@@ -59,13 +59,36 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _backend() -> str:
+    """'msgpack' (default, single-file) or 'orbax' (directory-per-checkpoint
+    via orbax.checkpoint — the async/multi-host-capable backend). Selected
+    with GENICONET_CKPT_BACKEND; loading auto-detects either format, so
+    runs can switch backends mid-experiment."""
+    return os.environ.get("GENICONET_CKPT_BACKEND", "msgpack")
+
+
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+
+    global _OCP
+    if "_OCP" not in globals():
+        _OCP = ocp.StandardCheckpointer()
+    return _OCP
+
+
 def save_checkpoint(path: str, state: dict):
     """state: dict with params/batch_stats/opt_state/step/epoch/loss/misc."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # to_state_dict turns tuple pytrees (optax states) into nested dicts
-    blob = flax.serialization.msgpack_serialize(
-        flax.serialization.to_state_dict(_to_host(state))
-    )
+    tree = flax.serialization.to_state_dict(_to_host(state))
+    if _backend() == "orbax":
+        # orbax writes a DIRECTORY at `path`; scalars ride as 0-d arrays
+        tree = jax.tree.map(np.asarray, tree)
+        cp = _orbax_checkpointer()
+        cp.save(os.path.abspath(path), tree, force=True)
+        cp.wait_until_finished()
+        return
+    blob = flax.serialization.msgpack_serialize(tree)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
@@ -73,6 +96,8 @@ def save_checkpoint(path: str, state: dict):
 
 
 def load_checkpoint(path: str) -> dict:
+    if os.path.isdir(path):  # orbax checkpoint directory
+        return _orbax_checkpointer().restore(os.path.abspath(path))
     with open(path, "rb") as f:
         return flax.serialization.msgpack_restore(f.read())
 
@@ -111,8 +136,14 @@ def gc_best_checkpoints(ckpt_dir: str, model_name: str, keep: int = 6):
         return
     epochs = sorted(_best_epochs(ckpt_dir, model_name))
     for e in epochs[:-keep]:
+        p = checkpoint_path(ckpt_dir, model_name, e, best=True)
         try:
-            os.remove(checkpoint_path(ckpt_dir, model_name, e, best=True))
+            if os.path.isdir(p):  # orbax directory checkpoint
+                import shutil
+
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
         except OSError:
             pass
 

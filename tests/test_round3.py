@@ -262,3 +262,39 @@ def test_fused_mse_loss_matches_general_path():
     l_xla, e_xla, _ = one(False, True)
     np.testing.assert_allclose(l_xla, l_gen, rtol=1e-5)
     np.testing.assert_allclose(e_xla, e_gen, rtol=1e-5)
+
+
+def test_orbax_checkpoint_backend(tmp_path, monkeypatch):
+    """GENICONET_CKPT_BACKEND=orbax: directory-per-checkpoint saves with the
+    same EB naming/GC/resume semantics; loading auto-detects the format."""
+    import numpy as np
+
+    from geniconet_tpu.train import checkpoint as ckpt
+
+    monkeypatch.setenv("GENICONET_CKPT_BACKEND", "orbax")
+    d = str(tmp_path / "savedModel")
+    state = {
+        "params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "step": 7, "epoch": 3, "loss": 0.5, "best_loss": 0.5,
+    }
+    for ep in range(1, 9):
+        state["epoch"] = ep
+        p = ckpt.checkpoint_path(d, "ico2ico", ep, best=True)
+        ckpt.save_checkpoint(p, state)
+        ckpt.gc_best_checkpoints(d, "ico2ico")
+    import os
+
+    assert os.path.isdir(ckpt.checkpoint_path(d, "ico2ico", 8, best=True))
+    # GC kept the newest 6 EB directories
+    assert sorted(ckpt._best_epochs(d, "ico2ico")) == [3, 4, 5, 6, 7, 8]
+    latest = ckpt.latest_checkpoint(d, "ico2ico")
+    blob = ckpt.load_checkpoint(latest)
+    assert int(blob["epoch"]) == 8
+    np.testing.assert_array_equal(blob["params"]["w"],
+                                  state["params"]["w"])
+    # mixed-format dir: an msgpack file at a higher epoch wins
+    monkeypatch.setenv("GENICONET_CKPT_BACKEND", "msgpack")
+    state["epoch"] = 9
+    ckpt.save_checkpoint(ckpt.checkpoint_path(d, "ico2ico", 9, best=False), state)
+    blob2 = ckpt.load_checkpoint(ckpt.latest_checkpoint(d, "ico2ico"))
+    assert int(blob2["epoch"]) == 9
