@@ -33,31 +33,21 @@ __all__ = ["IcoConvS2S", "IcoBatchNorm", "DownBlock", "UpBlock",
            "hex_uniform_init", "pallas_block_enabled"]
 
 
-_DEFAULT_PALLAS_BLOCKS: Optional[str] = None
 
-
-def set_default_pallas_blocks(blocks: Optional[str]) -> None:
-    """Process-level default for `pallas_block_enabled` (overridden by the
-    GENICONET_PALLAS_BLOCKS env var). The Trainer sets this per config —
-    e.g. the VAE-bs36 crash workaround routes conv_in through XLA
-    (artifacts/vae36_bisect.json: every 4-of-5 fused-block subset passes,
-    only the full set crashes the tunneled backend)."""
-    global _DEFAULT_PALLAS_BLOCKS
-    _DEFAULT_PALLAS_BLOCKS = blocks
-
-
-def pallas_block_enabled(name: Optional[str]) -> bool:
-    """Per-block Pallas routing override for hardware bisection: when
-    GENICONET_PALLAS_BLOCKS is set (comma list, e.g. 'down0,up2,conv_in'),
-    only the named blocks keep their fused kernels; everything else falls
-    back to XLA. Unset (default) = all blocks fused, unless the trainer
-    installed a config default via `set_default_pallas_blocks`. Used to
-    bisect the VAE-bs36 backend crash (ROADMAP 'Known issue')."""
+def pallas_block_enabled(name: Optional[str],
+                         default: Optional[str] = None) -> bool:
+    """Per-block Pallas routing override: when GENICONET_PALLAS_BLOCKS is
+    set (comma list, e.g. 'down0,up2,conv_in'), only the named blocks keep
+    their fused kernels; everything else falls back to XLA. With the env
+    unset, `default` (a model's `pallas_blocks` attribute — e.g. the
+    VAE-bs36 crash workaround, artifacts/vae36_bisect.json) applies; unset
+    both = all blocks fused. Used to bisect the VAE-bs36 backend crash
+    (ROADMAP 'Known issue')."""
     import os
 
     v = os.environ.get("GENICONET_PALLAS_BLOCKS", "")
     if not v:
-        v = _DEFAULT_PALLAS_BLOCKS or ""
+        v = default or ""
     if not v:
         return True
     return (name or "") in {s.strip() for s in v.split(",")}
@@ -276,6 +266,7 @@ class DownBlock(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     use_pallas: bool = False
+    pallas_blocks: Optional[str] = None  # per-model routing default
 
     @nn.compact
     def __call__(self, x, train: bool = False, in_act=None) -> jnp.ndarray:
@@ -303,7 +294,7 @@ class DownBlock(nn.Module):
         F = self.features
         if (
             self.use_pallas
-            and pallas_block_enabled(self.name)
+            and pallas_block_enabled(self.name, self.pallas_blocks)
             and s >= 2
             and phase_vmem_ok(h2, w2, cin, F, n_sets=2)
         ):
@@ -381,6 +372,7 @@ class UpBlock(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     use_pallas: bool = False
+    pallas_blocks: Optional[str] = None  # per-model routing default
     # fused path: skip the XLA tail and hand (b0 phases, y10 phases, the four
     # pending BN affines) to the caller — the decoder head kernel absorbs the
     # two-affine add+ReLU so the 64-channel tensor never re-interleaves
@@ -404,7 +396,7 @@ class UpBlock(nn.Module):
         F = self.features
         if (
             self.use_pallas
-            and pallas_block_enabled(self.name)
+            and pallas_block_enabled(self.name, self.pallas_blocks)
             and phase_vmem_ok(h, w, x.shape[-1], F, n_sets=2)
         ):
             # whole block in phase form: upsample + both first convs fused

@@ -76,6 +76,7 @@ class _Encoder(nn.Module):
     dtype: Any
     axis_name: Optional[str]
     use_pallas: bool = False
+    pallas_blocks: Optional[str] = None  # per-model routing default
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -110,7 +111,7 @@ class _Encoder(nn.Module):
 
         fuse_in = (
             self.use_pallas
-            and pallas_block_enabled("conv_in")
+            and pallas_block_enabled("conv_in", self.pallas_blocks)
             and s >= 2
             and len(self.widths) > 1
             and phase_vmem_ok(ph2, pw2, w0, self.widths[1], n_sets=2)
@@ -156,7 +157,7 @@ class _Encoder(nn.Module):
             x = DownBlock(
                 width, s - k, axis_name=self.axis_name, name=f"down{k}",
                 corner_mode=self.corner_mode, dtype=self.dtype,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, pallas_blocks=self.pallas_blocks,
             )(x, train=train, in_act=in_act if k == 0 else None)
         return x
 
@@ -198,6 +199,7 @@ class _Decoder(nn.Module):
     dtype: Any
     axis_name: Optional[str]
     use_pallas: bool = False
+    pallas_blocks: Optional[str] = None  # per-model routing default
 
     @nn.compact
     def __call__(self, z, train: bool = False, target=None):
@@ -218,7 +220,7 @@ class _Decoder(nn.Module):
             x = UpBlock(
                 width, s + k, axis_name=self.axis_name, name=f"up{k}",
                 corner_mode=self.corner_mode, dtype=self.dtype,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, pallas_blocks=self.pallas_blocks,
                 # the last block hands its raw phases + pending affines to
                 # the fused head epilogue (tail+head+tanh in one kernel)
                 return_phases=(self.use_pallas and k == last),
@@ -264,6 +266,7 @@ class IcoAE(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     use_pallas: bool = False
+    pallas_blocks: Optional[str] = None  # per-model fused-block routing
 
     def setup(self):
         if self.subdivisions < 3:
@@ -271,11 +274,11 @@ class IcoAE(nn.Module):
         w0, w1, w2 = self.widths
         self.encoder = _Encoder(
             self.subdivisions, (w0, w1, w2, w2), self.corner_mode, self.dtype,
-            self.axis_name, self.use_pallas,
+            self.axis_name, self.use_pallas, self.pallas_blocks,
         )
         self.decoder = _Decoder(
             self.subdivisions - 3, (w2, w1, w0), 3, self.corner_mode, self.dtype,
-            self.axis_name, self.use_pallas,
+            self.axis_name, self.use_pallas, self.pallas_blocks,
         )
 
     def encode(self, x, train: bool = False):
@@ -319,6 +322,7 @@ class IcoVAE(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     use_pallas: bool = False
+    pallas_blocks: Optional[str] = None  # per-model fused-block routing
 
     def setup(self):
         if self.subdivisions < 3:
@@ -326,7 +330,7 @@ class IcoVAE(nn.Module):
         w0, w1, w2 = self.widths
         self.encoder = _Encoder(
             self.subdivisions, (w0, w1, w2), self.corner_mode, self.dtype,
-            self.axis_name, self.use_pallas,
+            self.axis_name, self.use_pallas, self.pallas_blocks,
         )
         conv_kw = dict(corner_mode=self.corner_mode, dtype=self.dtype, use_pallas=self.use_pallas)
         bn_kw = dict(axis_name=self.axis_name, dtype=self.dtype)
@@ -347,6 +351,7 @@ class IcoVAE(nn.Module):
             self.dtype,
             self.axis_name,
             self.use_pallas,
+            self.pallas_blocks,
         )
 
     def encode(self, x, train: bool = False):
@@ -366,7 +371,7 @@ class IcoVAE(nn.Module):
         F = self.latent_features
         if (
             self.use_pallas
-            and pallas_block_enabled("heads")
+            and pallas_block_enabled("heads", self.pallas_blocks)
             and s2 >= 2
             and phase_vmem_ok(feat.shape[2] // 2, feat.shape[3] // 2,
                               feat.shape[-1], F, n_sets=2)

@@ -1407,6 +1407,11 @@ def fused_phase_conv_s1(phases, taps, bias, corner_mode="average", act=None,
     needs_dx=False skips the input-cotangent kernel entirely (for convs whose
     input is data, e.g. the encoder front)."""
     mul, add = (act if act is not None else (None, None))
+    if (len(phases) == 1 and phases[0].shape[-1] == 4 * taps.shape[1]
+            and needs_dx):
+        raise ValueError(
+            "lane-packed phase input requires needs_dx=False (it is for "
+            "data-fed convs like the encoder front)")
     out, st = _pcs1(tuple(phases), taps, bias, mul, add, corner_mode,
                     with_stats, needs_dx)
     return (out, st) if with_stats else out

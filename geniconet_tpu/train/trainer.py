@@ -85,6 +85,15 @@ def build_model(cfg: Config, axis_name: Optional[str] = None):
         use_pallas = False
     m = dataclasses.replace(m, use_pallas=use_pallas)
     dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
+    # VAE-bs36 crash workaround (artifacts/vae36_bisect.json): the full
+    # fused VAE program deterministically crashes the tunneled v5e at
+    # execution, while EVERY 4-of-5 block subset passes — route conv_in
+    # (the cheapest block) + heads through XLA for that config. A model
+    # ATTRIBUTE, not process state, so a second Trainer in the process
+    # cannot clobber it; GENICONET_PALLAS_BLOCKS still overrides.
+    pallas_blocks = None
+    if m.is_vae and m.use_pallas and cfg.train.batch_size >= 24:
+        pallas_blocks = "down0,down1,up0,up1"
     if m.is_vae:
         return IcoVAE(
             subdivisions=m.subdivisions,
@@ -94,6 +103,7 @@ def build_model(cfg: Config, axis_name: Optional[str] = None):
             dtype=dtype,
             use_pallas=m.use_pallas,
             axis_name=axis_name,
+            pallas_blocks=pallas_blocks,
         )
     return IcoAE(
         subdivisions=m.subdivisions,
@@ -146,18 +156,6 @@ class Trainer:
         self.s = cfg.model.subdivisions
         self.factors = cfg.loss_factors
         self.is_vae = cfg.model.is_vae
-        # VAE-bs36 crash workaround (artifacts/vae36_bisect.json): the full
-        # 5-block fused VAE program deterministically crashes the tunneled
-        # v5e at execution, while EVERY 4-of-5 subset passes — route
-        # conv_in (the cheapest block) through XLA for that config. The
-        # GENICONET_PALLAS_BLOCKS env var still overrides.
-        from geniconet_tpu.nn.layers import set_default_pallas_blocks
-
-        if (self.is_vae and self.model.use_pallas
-                and cfg.train.batch_size >= 24):
-            set_default_pallas_blocks("down0,down1,up0,up1")
-        else:
-            set_default_pallas_blocks(None)
         # AE + pos-only factors + fused kernels: route the loss through the
         # head+MSE kernel (the reconstruction never reaches HBM). Hardware-
         # validated fwd+bwd at the headline shapes (scripts/probe_phmse.py;
@@ -411,7 +409,17 @@ class Trainer:
         )
         cache = getattr(batches, "_gn_prepared_tables", None)
         if cache is not None and cache[0] == (prep_mode, self.s):
-            return cache[1]
+            tables = cache[1]
+            relaid = getattr(self, "_gather_auto_tables", None)
+            if relaid is not None and tables is getattr(
+                    self, "_gather_auto_src", None):
+                # retire the pre-relayout copy: keeping both the original
+                # and the re-laid-out tables doubles the resident dataset's
+                # HBM footprint for the process lifetime
+                batches._gn_prepared_tables = (cache[0], relaid)
+                self._gather_auto_src = relaid
+                tables = relaid
+            return tables
         if prep_mode:
             from geniconet_tpu.ops.conv import split_charts
             from geniconet_tpu.ops.phase import phase_split
@@ -614,15 +622,18 @@ class Trainer:
             return False
         if not batches.device_resident or self.mesh is not None or nb < 2:
             return False
+        h = self._host_step
+
+        def due(freq):  # does any step in [h, h+nb) hit the cadence?
+            r = h % freq
+            return r == 0 or r + nb > freq
+
+        # the log cadence doubles as the periodic NaN/finite guard and
+        # fires with or without a logger (detect_anomaly parity) — epochs
+        # containing a due step take the per-step loop so the guard syncs
+        if due(max(1, self.cfg.train.log_freq)):
+            return False
         if self.logger is not None:
-            h = self._host_step
-
-            def due(freq):  # does any step in [h, h+nb) hit the cadence?
-                r = h % freq
-                return r == 0 or r + nb > freq
-
-            if due(max(1, self.cfg.train.log_freq)):
-                return False
             gf = self.cfg.train.log_grad_freq
             if gf and due(gf):
                 return False
@@ -645,7 +656,10 @@ class Trainer:
         last_device = jax.tree.map(lambda a: a[-1], metrics)
         if tail is not None:
             idx, wt = tail
-            tables, (state, m_t, misc_t, _) = self.gather_train_step(
+            # plain jit, NOT gather_train_step: the tail's ragged idx shape
+            # must never seed the auto-layout probe/pinned-jit cache (it
+            # would lock full-size batches out of the fast path)
+            state, m_t, misc_t, _ = self._jit_train_step_gather(
                 state, tables, idx, wt, epoch)
             self._host_step += 1
             n += 1

@@ -33,7 +33,9 @@ CONFIGS = [
     ("up1_only", "up1"),
     ("down0_only", "down0"),
     ("down1_only", "down1"),
-    ("all", ""),  # control: the known-crashing full set, re-verified last
+    # control: the known-crashing full set, named EXPLICITLY — an empty env
+    # would fall back to the Trainer's 4/5-block workaround default
+    ("all", "conv_in,down0,down1,up0,up1,heads"),
     # Round-3 phase 1 verdict: every single block and each half passes;
     # only the full set crashes -> threshold/interaction, not a kernel.
     # Phase 2: all-minus-one — if some pass, the removed block is

@@ -83,7 +83,7 @@ def main():
             state, info = trainer.train_epoch(state, trn, ep)
             avg = trainer.validate(state, val, ep)
             v = float(avg.get("total", float("nan")))
-            meshes += info["iters"] * a.batch_size
+            meshes += len(trn_ds)  # every epoch sees the whole dataset
             ep += 1
             if v < best:
                 best = v

@@ -176,7 +176,10 @@ def test_epoch_scan_matches_per_step_loop(tmp_path, monkeypatch):
         trainer = Trainer(cfg)
         state = trainer.init_state(ds.inputs[:1], seed=1)
         trn = Batches(ds, 8, shuffle=True, seed=3, device_resident=True)
-        state, info = trainer.train_epoch(state, trn, 0)
+        # epoch 0 always takes the per-step loop (the periodic NaN guard
+        # fires at global step 0); the scan engages from epoch 1
+        for ep in range(2):
+            state, info = trainer.train_epoch(state, trn, ep)
         used_scan = trainer._jit_train_epoch_scan._cache_size() > 0
         last = info.get("last_device")
         assert last is not None
