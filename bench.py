@@ -92,7 +92,11 @@ def main():
     # pre-phase-split inputs + pre-packed targets) happens INSIDE the jitted
     # step — one dispatch per step, only the 36-int index array crosses the
     # host boundary.
-    state, _ = trainer.train_epoch(state, batches, 0)  # warmup/compile
+    # warmup/compile BOTH epoch programs: epoch 0 takes the per-step loop
+    # (the periodic NaN guard fires at global step 0), epoch 1 compiles the
+    # whole-epoch scan program
+    state, _ = trainer.train_epoch(state, batches, 0)
+    state, _ = trainer.train_epoch(state, batches, 0)
     epochs = 6
     n_meshes = epochs * (len(batches) * 36)
     t0 = time.perf_counter()
