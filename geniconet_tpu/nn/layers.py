@@ -308,15 +308,16 @@ class DownBlock(nn.Module):
             t10, b10 = IcoConvS2S(F, s, stride=2, name="conv10", **kw)(
                 xp[0], get_params=True
             )
+            fold_ok = self.pallas_blocks is None
             if train:
                 y00, y10, s00, s10 = fused_dual_s2_conv(
                     xp, t00, b00, t10, b10, self.corner_mode,
-                    act=in_act, with_stats=True,
+                    act=in_act, with_stats=True, fold_ok=fold_ok,
                 )
             else:
                 y00, y10 = fused_dual_s2_conv(
                     xp, t00, b00, t10, b10, self.corner_mode,
-                    act=in_act,
+                    act=in_act, fold_ok=fold_ok,
                 )
                 s00 = s10 = None
             cnt = float(math.prod(y00.shape[:-1]))
@@ -409,9 +410,11 @@ class UpBlock(nn.Module):
             t10, b10 = IcoConvS2S(F, s + 1, stride=1, name="conv10", **kw)(
                 xd, get_params=True
             )
+            fold_ok = self.pallas_blocks is None
             if train:
                 y00, y10, s00, s10 = fused_up_dual_conv(
-                    xd, t00, b00, t10, b10, self.corner_mode, with_stats=True
+                    xd, t00, b00, t10, b10, self.corner_mode, with_stats=True,
+                    fold_ok=fold_ok
                 )
             else:
                 y00, y10 = fused_up_dual_conv(xd, t00, b00, t10, b10, self.corner_mode)

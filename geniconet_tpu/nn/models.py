@@ -136,6 +136,7 @@ class _Encoder(nn.Module):
                 x, st = fused_phase_conv_s1(
                     xp, t_in, b_in, self.corner_mode, with_stats=True,
                     needs_dx=False,  # input is data — no input cotangent
+                    fold_ok=self.pallas_blocks is None,
                 )
             else:
                 x, st = fused_phase_conv_s1(xp, t_in, b_in, self.corner_mode), None
@@ -387,7 +388,7 @@ class IcoVAE(nn.Module):
             if train:
                 y_mu, y_lv, s_mu, s_lv = fused_dual_s2_conv(
                     xp, t_mu, b_mu, t_lv, b_lv, self.corner_mode,
-                    with_stats=True,
+                    with_stats=True, fold_ok=self.pallas_blocks is None,
                 )
             else:
                 y_mu, y_lv = fused_dual_s2_conv(

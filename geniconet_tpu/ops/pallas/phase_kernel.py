@@ -815,7 +815,7 @@ def _phase_conv_bwd(raw_phases, g_groups, y_groups, gs_list, tap_sets,
     return dphases, dtaps, gsums, dmul, dadd
 
 
-def _kernel_geff_enabled(family: str = "") -> bool:
+def _kernel_geff_enabled(family: str = "", allow: bool = True) -> bool:
     """Route the BatchNorm stats-cotangent fold + Σg_eff bias-grad reduction
     through the (separate) dx/dtaps backward kernels instead of an XLA
     elementwise pass + reduction per conv (~1.5 ms/step across the model in
@@ -830,8 +830,16 @@ def _kernel_geff_enabled(family: str = "") -> bool:
     per-family hardware bisection lands on a safe subset."""
     import os
 
-    v = os.environ.get("GENICONET_KERNEL_GEFF", "0")
-    if v in ("0", ""):
+    v = os.environ.get("GENICONET_KERNEL_GEFF", "")
+    if v == "":
+        # built-in default, hardware-validated round 3 (AE bs36: 2081 ->
+        # 2184 meshes/s, stable): fold at the encoder front and in the
+        # UpBlock backwards. `allow=False` (a restricted pallas_blocks
+        # program, e.g. the VAE-bs36 crash workaround) disables the
+        # default — one more fused feature pushed that program back over
+        # the backend's crash threshold (measured).
+        return allow and family in ("pcs1_front", "upd")
+    if v == "0":
         return False
     if v in ("1", "all"):
         return True
@@ -1322,9 +1330,9 @@ def _mk_act(act_mul, act_add):
 # --------------------------- fused_phase_conv_s1 ---------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _pcs1(phases, taps, bias, act_mul, act_add, corner_mode, with_stats,
-          needs_dx):
+          needs_dx, fold_ok=True):
     (out,), (st,) = _phase_conv_fwd(
         phases, [(taps, bias)], corner_mode, _ALL,
         act=_mk_act(act_mul, act_add), with_stats=with_stats,
@@ -1333,15 +1341,15 @@ def _pcs1(phases, taps, bias, act_mul, act_add, corner_mode, with_stats,
 
 
 def _pcs1_fwd(phases, taps, bias, act_mul, act_add, corner_mode, with_stats,
-              needs_dx):
+              needs_dx, fold_ok=True):
     out, st = _pcs1(phases, taps, bias, act_mul, act_add, corner_mode,
-                    with_stats, needs_dx)
+                    with_stats, needs_dx, fold_ok)
     res = (phases, taps, bias, act_mul, act_add,
            out if with_stats else None)
     return (out, st), res
 
 
-def _pcs1_bwd(corner_mode, with_stats, needs_dx, res, g):
+def _pcs1_bwd(corner_mode, with_stats, needs_dx, fold_ok, res, g):
     phases, taps, bias, act_mul, act_add, out = res
     g_out, g_st = g
     act = _mk_act(act_mul, act_add)
@@ -1359,7 +1367,12 @@ def _pcs1_bwd(corner_mode, with_stats, needs_dx, res, g):
         )
         db = None if bias is None else gsum.astype(bias.dtype)
         return dphases, dtaps.astype(taps.dtype), db, dmul, dadd
-    fold = with_stats and _kernel_geff_enabled("pcs1")
+    # the encoder front (needs_dx=False) is its own fold family: its fused
+    # set was never implicated in the bs36 program-threshold crash (the
+    # family-wide 'pcs1' fold was), and folding here removes one ~0.4 ms
+    # whole-cotangent XLA pass per step
+    fam = "pcs1" if needs_dx else "pcs1_front"
+    fold = with_stats and _kernel_geff_enabled(fam, fold_ok)
     yk = dict(y_groups=[out], gs_list=[g_st]) if fold else {}
     if not fold:
         g_out = _stats_geff(g_out, out, g_st if with_stats else None)
@@ -1394,7 +1407,7 @@ _pcs1.defvjp(_pcs1_fwd, _pcs1_bwd)
 
 
 def fused_phase_conv_s1(phases, taps, bias, corner_mode="average", act=None,
-                        with_stats=False, needs_dx=True):
+                        with_stats=False, needs_dx=True, fold_ok=True):
     """Stride-1 hex conv in phase form: 4 phases in -> 4 phases out.
 
     `phases` may also be a 1-tuple of ONE lane-packed (B, 5, h, w, 4·cin)
@@ -1413,16 +1426,16 @@ def fused_phase_conv_s1(phases, taps, bias, corner_mode="average", act=None,
             "lane-packed phase input requires needs_dx=False (it is for "
             "data-fed convs like the encoder front)")
     out, st = _pcs1(tuple(phases), taps, bias, mul, add, corner_mode,
-                    with_stats, needs_dx)
+                    with_stats, needs_dx, fold_ok)
     return (out, st) if with_stats else out
 
 
 # ---------------------------- fused_dual_s2_conv ---------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def _ds2(phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
-         corner_mode, with_stats):
+         corner_mode, with_stats, fold_ok=True):
     ((ya,), (yb,)), (sa, sb) = _phase_conv_fwd(
         phases, [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, (2,),
         act=_mk_act(act_mul, act_add), with_stats=with_stats,
@@ -1431,15 +1444,15 @@ def _ds2(phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
 
 
 def _ds2_fwd(phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
-             corner_mode, with_stats):
+             corner_mode, with_stats, fold_ok=True):
     ya, yb, sa, sb = _ds2(phases, taps_a, bias_a, taps_b, bias_b,
-                          act_mul, act_add, corner_mode, with_stats)
+                          act_mul, act_add, corner_mode, with_stats, fold_ok)
     res = (phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
            (ya, yb) if with_stats else None)
     return (ya, yb, sa, sb), res
 
 
-def _ds2_bwd(corner_mode, with_stats, res, g):
+def _ds2_bwd(corner_mode, with_stats, fold_ok, res, g):
     phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add, ys = res
     ga, gb, gsa, gsb = g
     act = _mk_act(act_mul, act_add)
@@ -1457,7 +1470,7 @@ def _ds2_bwd(corner_mode, with_stats, res, g):
         dbb = None if bias_b is None else gsb_.astype(bias_b.dtype)
         return (dphases, dta.astype(taps_a.dtype), dba,
                 dtb.astype(taps_b.dtype), dbb, dmul, dadd)
-    fold = with_stats and _kernel_geff_enabled("ds2")
+    fold = with_stats and _kernel_geff_enabled("ds2", fold_ok)
     yk = (dict(y_groups=[(ys[0],), (ys[1],)], gs_list=[gsa, gsb])
           if fold else {})
     if with_stats and not fold:
@@ -1489,7 +1502,8 @@ _ds2.defvjp(_ds2_fwd, _ds2_bwd)
 
 
 def fused_dual_s2_conv(phases, taps_a, bias_a, taps_b, bias_b,
-                       corner_mode="average", act=None, with_stats=False):
+                       corner_mode="average", act=None, with_stats=False,
+                       fold_ok=True):
     """Both stride-2 convs of a DownBlock in one kernel.
 
     phases: the 4 parity phases of the level-s input (XLA-side slices).
@@ -1499,7 +1513,7 @@ def fused_dual_s2_conv(phases, taps_a, bias_a, taps_b, bias_b,
     with_stats: additionally return (2, C) [sum, sumsq] per output."""
     mul, add = (act if act is not None else (None, None))
     ya, yb, sa, sb = _ds2(tuple(phases), taps_a, bias_a, taps_b, bias_b,
-                          mul, add, corner_mode, with_stats)
+                          mul, add, corner_mode, with_stats, fold_ok)
     return (ya, yb, sa, sb) if with_stats else (ya, yb)
 
 
@@ -1547,23 +1561,25 @@ def _up_conv_fwd_impl(x, tap_sets, corner_mode, with_stats=False):
     return sets, stats
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _upd(x, taps_a, bias_a, taps_b, bias_b, corner_mode, with_stats):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _upd(x, taps_a, bias_a, taps_b, bias_b, corner_mode, with_stats,
+         fold_ok=True):
     (ya, yb), (sa, sb) = _up_conv_fwd_impl(
         x, [(taps_a, bias_a), (taps_b, bias_b)], corner_mode, with_stats
     )
     return ya, yb, sa, sb
 
 
-def _upd_fwd(x, taps_a, bias_a, taps_b, bias_b, corner_mode, with_stats):
+def _upd_fwd(x, taps_a, bias_a, taps_b, bias_b, corner_mode, with_stats,
+             fold_ok=True):
     ya, yb, sa, sb = _upd(x, taps_a, bias_a, taps_b, bias_b, corner_mode,
-                          with_stats)
+                          with_stats, fold_ok)
     res = (x, taps_a, bias_a, taps_b, bias_b,
            (ya, yb) if with_stats else None)
     return (ya, yb, sa, sb), res
 
 
-def _upd_bwd(corner_mode, with_stats, res, g):
+def _upd_bwd(corner_mode, with_stats, fold_ok, res, g):
     x, taps_a, bias_a, taps_b, bias_b, ys = res
     ga, gb, gsa, gsb = g
     B = x.shape[0]
@@ -1614,7 +1630,7 @@ def _upd_bwd(corner_mode, with_stats, res, g):
         dbb = None if bias_b is None else gsb_.reshape(-1).astype(bias_b.dtype)
         return (dx, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype),
                 dbb)
-    fold = with_stats and _kernel_geff_enabled("upd")
+    fold = with_stats and _kernel_geff_enabled("upd", fold_ok)
     if with_stats and not fold:
         ga = _stats_geff(ga, ys[0], gsa)
         gb = _stats_geff(gb, ys[1], gsb)
@@ -1701,7 +1717,8 @@ _upd.defvjp(_upd_fwd, _upd_bwd)
 
 
 def fused_up_dual_conv(x, taps_a, bias_a, taps_b, bias_b,
-                       corner_mode="average", with_stats=False):
+                       corner_mode="average", with_stats=False,
+                       fold_ok=True):
     """An UpBlock's upsample + both first convs, fused.
 
     x: standard level-s tensor (B, 5, h, w, C_in). Returns two 4-tuples of
@@ -1711,7 +1728,7 @@ def fused_up_dual_conv(x, taps_a, bias_a, taps_b, bias_b,
     after the block's remaining elementwise work.
     """
     ya, yb, sa, sb = _upd(x, taps_a, bias_a, taps_b, bias_b, corner_mode,
-                          with_stats)
+                          with_stats, fold_ok)
     return (ya, yb, sa, sb) if with_stats else (ya, yb)
 
 
