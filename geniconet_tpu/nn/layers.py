@@ -429,7 +429,8 @@ class UpBlock(nn.Module):
             if train:
                 b0, s01 = fused_phase_conv_s1(
                     y00, t01, b01, self.corner_mode, act=(mul00, add00),
-                    with_stats=True,
+                    with_stats=True, fold_ok=fold_ok,
+                    fold_site=self.name or "",
                 )
             else:
                 b0 = fused_phase_conv_s1(

@@ -1330,9 +1330,9 @@ def _mk_act(act_mul, act_add):
 # --------------------------- fused_phase_conv_s1 ---------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _pcs1(phases, taps, bias, act_mul, act_add, corner_mode, with_stats,
-          needs_dx, fold_ok=True):
+          needs_dx, fold_ok=True, fold_site=""):
     (out,), (st,) = _phase_conv_fwd(
         phases, [(taps, bias)], corner_mode, _ALL,
         act=_mk_act(act_mul, act_add), with_stats=with_stats,
@@ -1341,15 +1341,15 @@ def _pcs1(phases, taps, bias, act_mul, act_add, corner_mode, with_stats,
 
 
 def _pcs1_fwd(phases, taps, bias, act_mul, act_add, corner_mode, with_stats,
-              needs_dx, fold_ok=True):
+              needs_dx, fold_ok=True, fold_site=""):
     out, st = _pcs1(phases, taps, bias, act_mul, act_add, corner_mode,
-                    with_stats, needs_dx, fold_ok)
+                    with_stats, needs_dx, fold_ok, fold_site)
     res = (phases, taps, bias, act_mul, act_add,
            out if with_stats else None)
     return (out, st), res
 
 
-def _pcs1_bwd(corner_mode, with_stats, needs_dx, fold_ok, res, g):
+def _pcs1_bwd(corner_mode, with_stats, needs_dx, fold_ok, fold_site, res, g):
     phases, taps, bias, act_mul, act_add, out = res
     g_out, g_st = g
     act = _mk_act(act_mul, act_add)
@@ -1370,8 +1370,14 @@ def _pcs1_bwd(corner_mode, with_stats, needs_dx, fold_ok, res, g):
     # the encoder front (needs_dx=False) is its own fold family: its fused
     # set was never implicated in the bs36 program-threshold crash (the
     # family-wide 'pcs1' fold was), and folding here removes one ~0.4 ms
-    # whole-cotangent XLA pass per step
-    fam = "pcs1" if needs_dx else "pcs1_front"
+    # whole-cotangent XLA pass per step. Stride-1 convs in named blocks
+    # carry a per-site family (e.g. 'pcs1_up2') for finer hardware gating.
+    if not needs_dx:
+        fam = "pcs1_front"
+    elif fold_site:
+        fam = f"pcs1_{fold_site}"
+    else:
+        fam = "pcs1"
     fold = with_stats and _kernel_geff_enabled(fam, fold_ok)
     yk = dict(y_groups=[out], gs_list=[g_st]) if fold else {}
     if not fold:
@@ -1407,7 +1413,8 @@ _pcs1.defvjp(_pcs1_fwd, _pcs1_bwd)
 
 
 def fused_phase_conv_s1(phases, taps, bias, corner_mode="average", act=None,
-                        with_stats=False, needs_dx=True, fold_ok=True):
+                        with_stats=False, needs_dx=True, fold_ok=True,
+                        fold_site=""):
     """Stride-1 hex conv in phase form: 4 phases in -> 4 phases out.
 
     `phases` may also be a 1-tuple of ONE lane-packed (B, 5, h, w, 4·cin)
@@ -1426,7 +1433,7 @@ def fused_phase_conv_s1(phases, taps, bias, corner_mode="average", act=None,
             "lane-packed phase input requires needs_dx=False (it is for "
             "data-fed convs like the encoder front)")
     out, st = _pcs1(tuple(phases), taps, bias, mul, add, corner_mode,
-                    with_stats, needs_dx, fold_ok)
+                    with_stats, needs_dx, fold_ok, fold_site)
     return (out, st) if with_stats else out
 
 
