@@ -98,7 +98,9 @@ def main():
     state, _ = trainer.train_epoch(state, batches, 0)
     state, _ = trainer.train_epoch(state, batches, 0)
     epochs = 6
-    n_meshes = epochs * (len(batches) * 36)
+    # every epoch sees the whole dataset (unsharded, drop_remainder=False) —
+    # derive the count from the dataset rather than assuming bs·len(batches)
+    n_meshes = epochs * len(batches.ds)
     t0 = time.perf_counter()
     for _ in range(epochs):
         state, info = trainer.train_epoch(state, batches, 0)

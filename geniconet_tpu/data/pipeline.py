@@ -174,7 +174,22 @@ class Batches:
         single dispatch (`Trainer._train_epoch_scan`). `tail` is the ragged
         final (idx, wt) pair when the dataset is not a batch multiple (run
         via the per-step path), else None. Consumes the SAME shuffle stream
-        as `epoch_indices`, so the two paths see identical batch orders."""
+        as `epoch_indices`, so the two paths see identical batch orders.
+
+        Sharded loaders may only take this path when every batch is full
+        (train loaders with drop_remainder, dataset >= one batch): the dense
+        plan does not replicate `epoch_indices`' device-count
+        truncation/padding of ragged batches (advisor round-3 — callers are
+        guarded here, not just in the Trainer)."""
+        if self.sharding is not None and not (
+            self.drop_remainder and len(self.ds) >= self.batch_size
+        ):
+            raise ValueError(
+                "epoch_order() does not implement the sharded ragged-batch "
+                "truncation/padding invariants; use epoch_indices() "
+                "(sharded scans require drop_remainder and a dataset of at "
+                "least one full batch)"
+            )
         n = len(self.ds)
         order = np.arange(n)
         if self.shuffle:

@@ -826,19 +826,27 @@ def _kernel_geff_enabled(family: str = "", allow: bool = True) -> bool:
     list of families — for hardware bisection of backend crashes (the
     whole-model all-family fold program hit the same first-execution
     INTERNAL as the merged backward on the tunneled v5e; interpret-mode
-    numerics are pinned by tests either way). Default off until the
-    per-family hardware bisection lands on a safe subset."""
+    numerics are pinned by tests either way).
+
+    ``allow=False`` marks a restricted pallas_blocks program (e.g. the
+    VAE-bs36 crash workaround): one extra fused feature measurably pushes
+    such a program back over the backend's crash threshold, so folds stay
+    OFF there even under an explicit env value (advisor round-3 — the env
+    used to silently re-enable them). Bisecting folds *inside* a restricted
+    program is still possible with a leading '!' ('!all', '!pcs1_front'),
+    which is an explicit opt-in to the crash risk."""
     import os
 
     v = os.environ.get("GENICONET_KERNEL_GEFF", "")
+    if v.startswith("!"):
+        v = v[1:]
+    elif not allow:
+        return False
     if v == "":
         # built-in default, hardware-validated round 3 (AE bs36: 2081 ->
         # 2184 meshes/s, stable): fold at the encoder front and in the
-        # UpBlock backwards. `allow=False` (a restricted pallas_blocks
-        # program, e.g. the VAE-bs36 crash workaround) disables the
-        # default — one more fused feature pushed that program back over
-        # the backend's crash threshold (measured).
-        return allow and family in ("pcs1_front", "upd")
+        # UpBlock backwards.
+        return family in ("pcs1_front", "upd")
     if v == "0":
         return False
     if v in ("1", "all"):

@@ -129,12 +129,30 @@ class Trainer:
         # (data, spatial) mesh spatially slices the grid, which the fused
         # kernels' in-VMEM halos do not support — fall back to XLA there.
         self._shard_map = False
+        self._dp_axes = ("data",)
         if mesh is not None and self.model.use_pallas:
-            if tuple(mesh.axis_names) == ("data",):
+            axes = tuple(mesh.axis_names)
+            if axes == ("data",):
                 self.model = build_model(cfg, axis_name="data")
                 self._shard_map = True
+            elif cfg.train.batch_size % mesh.devices.size == 0:
+                # 2-D (data, spatial) mesh + fused kernels: run FLATTENED
+                # data parallelism over all mesh axes instead of W-sharding
+                # the grid — the fused kernels' in-VMEM halos need the full
+                # W axis per device, and at s<=6 DP over N devices keeps the
+                # whole ~2.3x Pallas speedup where 2-D XLA sharding loses it
+                # (measured: artifacts/spatial_vs_dp.json; W-sharded XLA
+                # convs pay halo collectives AND drop the fused kernels).
+                # True W-sharding remains the XLA route below — the regime
+                # where it wins is per-device batch < 1 (s7 memory limits).
+                self._dp_axes = axes
+                self.model = build_model(cfg, axis_name=axes)
+                self._shard_map = True
+                print("[model] use_pallas + 2-D mesh: flattened DP over "
+                      f"{axes} (fused kernels keep the full grid per device)")
             else:
-                print("[model] use_pallas + spatial mesh: using XLA convs "
+                print("[model] use_pallas + spatial mesh (global batch not "
+                      "divisible by the device count): using XLA convs "
                       "(fused kernels need the full W axis per device)")
                 cfg = dataclasses.replace(
                     cfg, model=dataclasses.replace(cfg.model, use_pallas=False)
@@ -297,27 +315,39 @@ class Trainer:
         metrics["total"] = loss
         return loss, aux
 
+    def _dp_index(self):
+        """Linearized shard index over the DP axes (inside shard_map) — the
+        per-shard PRNG fold. Built by hand because older jax releases reject
+        a tuple in `lax.axis_index`."""
+        idx = jax.lax.axis_index(self._dp_axes[0])
+        for ax in self._dp_axes[1:]:
+            idx = idx * self.mesh.shape[ax] + jax.lax.axis_index(ax)
+        return idx
+
     def _sm_value_and_grad(self, params, batch_stats, rng, x, y, wt, epoch):
         """Per-shard loss+grad under shard_map with explicit psums — exactly
         the global-batch value/gradient (each shard normalizes by the GLOBAL
         weight sum, so psum of shard gradients == global gradient). BatchNorm
-        moments pmean over 'data' inside the model (axis_name), keeping DP
-        global-batch exact like the GSPMD route."""
+        moments pmean over the DP axes inside the model (axis_name), keeping
+        DP global-batch exact like the GSPMD route. ``self._dp_axes`` is
+        ('data',) on the 1-D mesh or all mesh axes on the flattened-DP 2-D
+        route (batch sharded over every axis)."""
         from jax.sharding import PartitionSpec as P
 
-        rep, dat = P(), P("data")
+        axes = self._dp_axes
+        rep, dat = P(), P(axes)
 
         def shard_fn(params, batch_stats, rng, x, y, wt, epoch):
-            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-            wsum = jax.lax.psum(jnp.sum(wt.astype(jnp.float32)), "data")
+            rng = jax.random.fold_in(rng, self._dp_index())
+            wsum = jax.lax.psum(jnp.sum(wt.astype(jnp.float32)), axes)
             (loss, (bstats, metrics, misc)), grads = jax.value_and_grad(
                 self._loss, has_aux=True
             )(params, batch_stats, rng, x, y, wt, epoch, True, wsum)
             # losses/metrics are local_weighted_sum / global_count — psum
             # completes the global mean; grads likewise
-            loss = jax.lax.psum(loss, "data")
-            grads = jax.lax.psum(grads, "data")
-            metrics = jax.tree.map(lambda v: jax.lax.psum(v, "data"), metrics)
+            loss = jax.lax.psum(loss, axes)
+            grads = jax.lax.psum(grads, axes)
+            metrics = jax.tree.map(lambda v: jax.lax.psum(v, axes), metrics)
             return (loss, (bstats, metrics, misc)), grads
 
         misc_spec = (dat, dat) if self.is_vae else ()
@@ -435,6 +465,13 @@ class Trainer:
                 return {"xpack": xpack, "tpack": tpack, "tpoles": tpoles}
 
             tables = prep(di, dt)
+            # the raw di/dt tables only serve the streaming `Batches.epoch()`
+            # path, which a prepared-tables trainer never takes — keeping
+            # them cached would ~double the resident dataset's HBM footprint
+            # for the process lifetime (advisor round-3). `Batches` rebuilds
+            # them lazily if some other consumer does stream.
+            batches._dev = None
+            del di, dt
         else:
             tables = {"x": di, "y": dt}
         batches._gn_prepared_tables = ((prep_mode, self.s), tables)
@@ -542,14 +579,15 @@ class Trainer:
         if self._shard_map:
             from jax.sharding import PartitionSpec as P
 
-            rep, dat = P(), P("data")
+            axes = self._dp_axes
+            rep, dat = P(), P(axes)
 
             def shard_fn(params, batch_stats, rng, x, y, wt, epoch):
-                wsum = jax.lax.psum(jnp.sum(wt.astype(jnp.float32)), "data")
+                wsum = jax.lax.psum(jnp.sum(wt.astype(jnp.float32)), axes)
                 _, (_, metrics, _) = self._loss(
                     params, batch_stats, rng, x, y, wt, epoch, False, wsum
                 )
-                return jax.tree.map(lambda v: jax.lax.psum(v, "data"), metrics), wsum
+                return jax.tree.map(lambda v: jax.lax.psum(v, axes), metrics), wsum
 
             fn = _shard_map(
                 shard_fn, mesh=self.mesh,
@@ -613,14 +651,22 @@ class Trainer:
         return state, metrics, misc
 
     def _can_scan_epoch(self, batches: Batches, nb: int) -> bool:
-        """Scan-mode eligibility: device-resident single-device data and no
-        log/grad-flow sync due inside the epoch (those need the per-step
-        loop)."""
+        """Scan-mode eligibility: device-resident data and no log/grad-flow
+        sync due inside the epoch (those need the per-step loop). Multi-chip
+        loaders qualify when every batch is full (drop_remainder train
+        loaders — `Batches.epoch_order` guards the ragged invariants): the
+        scan body contains the same shard_map/GSPMD step as the per-step
+        path, so the whole DP epoch becomes one dispatch (round-3 VERDICT
+        #4 — per-step dispatch costs ~1.2 ms/step on tunneled backends)."""
         import os
 
         if os.environ.get("GENICONET_EPOCH_SCAN", "1") != "1":
             return False
-        if not batches.device_resident or self.mesh is not None or nb < 2:
+        if not batches.device_resident or nb < 2:
+            return False
+        if batches.sharding is not None and not (
+            batches.drop_remainder and len(batches.ds) >= batches.batch_size
+        ):
             return False
         h = self._host_step
 

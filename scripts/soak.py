@@ -114,6 +114,12 @@ def main():
                     latest = ckpt.latest_checkpoint(ckpt_dir, cfg.model.name)
                     if latest:
                         state, ep, best = trainer.restore(state, latest)
+                    else:
+                        # no checkpoint yet: build() gave fresh random
+                        # weights, so the pre-crash `best` is unreachable —
+                        # reset it (and the epoch counter) or the run never
+                        # writes another best checkpoint (advisor round-3)
+                        ep, best = start_epoch, float("inf")
                     break
                 except Exception:  # backend still wedged
                     time.sleep(60)
