@@ -80,6 +80,13 @@ def _mesh_payload(vertices: np.ndarray, faces: np.ndarray, colors: np.ndarray):
     }
 
 
+def _available_epochs(cfg) -> dict:
+    from geniconet_tpu.train import checkpoint as ckpt
+
+    ckpt_dir = os.path.join(cfg.model_log_dir(), "savedModel")
+    return ckpt.available_epochs(ckpt_dir, cfg.model.name)
+
+
 def handle_api(path: str, body: dict) -> dict:
     st = STATE
     if path == "/api/load":
@@ -92,15 +99,47 @@ def handle_api(path: str, body: dict) -> dict:
         cfg.data.data_dir = body.get("dataDir", "")
         cfg.data.synthetic = int(body.get("synthetic", 0))
         cfg.data.layout_level = int(body.get("dataPthLvl", 2))
-        info = st.load(cfg, body.get("instance", "val"))
+        info = st.load(cfg, body.get("instance", "val"),
+                       epoch=int(body.get("epoch", 0)))
         _allow_root(cfg.log_dir)
         _allow_root(cfg.data.data_dir)
+        info["epochs"] = _available_epochs(cfg)
         return info
 
     if path == "/api/info":
         if st.info is None:
             raise RuntimeError("no model loaded — POST /api/load first")
         return st.info
+
+    if path == "/api/epochs":
+        # checkpoint-epoch dropdown source (reference update_epoch_list,
+        # app.py:54-96) — reloadable without reloading the model
+        if st.cfg is None:
+            raise RuntimeError("no model loaded — POST /api/load first")
+        return _available_epochs(st.cfg)
+
+    if path == "/api/viewpoint":
+        # saved camera viewpoints (reference update_viewpoint_list,
+        # app.py:612-628): op=save stores {name: camera}, op=list returns
+        # them; persisted as JSON next to the model's logs
+        if st.cfg is None:
+            raise RuntimeError("no model loaded — POST /api/load first")
+        vp_path = os.path.join(st.cfg.model_log_dir(), "viewpoints.json")
+        vps = {}
+        if os.path.exists(vp_path):
+            with open(vp_path) as f:
+                vps = json.load(f)
+        op = body.get("op", "list")
+        if op == "save":
+            name = str(body["name"])[:64]
+            vps[name] = body["camera"]
+            with open(vp_path, "w") as f:
+                json.dump(vps, f)
+        elif op == "delete":
+            vps.pop(str(body.get("name", "")), None)
+            with open(vp_path, "w") as f:
+                json.dump(vps, f)
+        return {"viewpoints": vps}
 
     if st.dataset is None:
         raise RuntimeError("no model loaded — POST /api/load first")

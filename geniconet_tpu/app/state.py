@@ -52,8 +52,13 @@ class AppState:
 
     # ------------------------------------------------------------------
 
-    def load(self, cfg: Config, data_instance: str = "val"):
-        """Load checkpoint + dataset, jit encode/decode, build latent cache."""
+    def load(self, cfg: Config, data_instance: str = "val", epoch: int = 0):
+        """Load checkpoint + dataset, jit encode/decode, build latent cache.
+
+        ``epoch``: 0 picks the newest EB checkpoint; a positive value loads
+        that specific epoch (best EB file first, then a periodic E save) —
+        the reference app's epoch dropdown (app.py:54-96, test_epoch flowing
+        into loadModel)."""
         self.cfg = cfg
         self.instance = data_instance
         s = cfg.model.subdivisions
@@ -68,14 +73,22 @@ class AppState:
 
         name = cfg.model.name
         ckpt_dir = os.path.join(cfg.model_log_dir(), "savedModel")
-        epoch = ckpt.latest_best_epoch(ckpt_dir, name)
-        if epoch is None:
-            raise FileNotFoundError(f"no EB checkpoint under {ckpt_dir}")
+        if epoch:
+            path = ckpt.checkpoint_path(ckpt_dir, name, int(epoch), best=True)
+            if not os.path.exists(path):
+                path = ckpt.checkpoint_path(ckpt_dir, name, int(epoch), best=False)
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"no checkpoint for epoch {epoch} under {ckpt_dir} "
+                    f"(available: {ckpt.available_epochs(ckpt_dir, name)})")
+        else:
+            best = ckpt.latest_best_epoch(ckpt_dir, name)
+            if best is None:
+                raise FileNotFoundError(f"no EB checkpoint under {ckpt_dir}")
+            path = ckpt.checkpoint_path(ckpt_dir, name, best, best=True)
         trainer = Trainer(cfg)
         state = trainer.init_state(self.dataset.inputs[:1], seed=0)
-        state, self.epoch, _ = trainer.restore(
-            state, ckpt.checkpoint_path(ckpt_dir, name, epoch, best=True)
-        )
+        state, self.epoch, _ = trainer.restore(state, path)
         self.model = trainer.model
         # device_put once; pass as jit ARGUMENTS (closing over restored
         # numpy params would inline them as huge HLO literals — the
@@ -121,6 +134,13 @@ class AppState:
             "latent_shape": list(self.latents.shape[1:]),
             "is_vae": is_vae,
             "subdivisions": s,
+            # echo the load parameters so the frontend can re-POST
+            # /api/load with a different checkpoint epoch
+            "model": name,
+            "logDir": cfg.log_dir,
+            "dataDir": cfg.data.data_dir,
+            "synthetic": cfg.data.synthetic,
+            "instance": data_instance,
         }
         return self.info
 
@@ -311,10 +331,15 @@ class AppState:
     # ------------------------------------------------------------------
 
     def view_file(self, path: str):
-        """Generic .off/.npz viewer (app.py:1266-1296)."""
+        """Generic .off/.ply/.npz viewer (app.py:1266-1296; SHAPE_EXT incl.
+        .ply via plyfile, app.py:1271-1274,1545)."""
         if path.endswith(".off"):
             v, f = read_off(path)
             return v, f
+        if path.endswith(".ply"):
+            from geniconet_tpu.data.offio import read_ply
+
+            return read_ply(path)
         if path.endswith(".npz"):
             s = self.cfg.model.subdivisions if self.cfg else 5
             _, target = load_ico_npz(path, s)

@@ -71,6 +71,8 @@ async function init() {
   }
   await refresh();
   await drawPCA();
+  await fillEpochs();
+  await fillViewpoints();
   status("ready");
 }
 
@@ -165,6 +167,67 @@ async function drawPCA() {
 $("btnShow").onclick = refresh;
 $("coloring").onchange = refresh;
 $("selI").onchange = refresh;
+
+// wireframe toggle (reference generic viewer's showEdges, app.py:1266)
+$("wireframe").onchange = (e) => Wireframe.set(e.target.checked);
+
+// checkpoint-epoch dropdown (reference update_epoch_list, app.py:54-96)
+async function fillEpochs() {
+  const eps = await api("/api/epochs", {});
+  const sel = $("epochSel");
+  sel.innerHTML = "";
+  for (const e of eps.best.slice().reverse()) {
+    const o = document.createElement("option");
+    o.value = e; o.textContent = `EB${e} (best)`;
+    sel.appendChild(o);
+  }
+  for (const e of eps.periodic.slice().reverse()) {
+    const o = document.createElement("option");
+    o.value = e; o.textContent = `E${e}`;
+    sel.appendChild(o);
+  }
+}
+$("btnLoadEpoch").onclick = async () => {
+  status("loading epoch " + $("epochSel").value + " ...");
+  await api("/api/load", {
+    model: INFO.model, logDir: INFO.logDir, dataDir: INFO.dataDir,
+    synthetic: INFO.synthetic, subdivision: INFO.subdivisions,
+    epoch: parseInt($("epochSel").value),
+  });
+  PCA = null;
+  await init();
+};
+
+// saved viewpoints (reference update_viewpoint_list, app.py:612-628)
+async function fillViewpoints() {
+  const r = await api("/api/viewpoint", { op: "list" });
+  const sel = $("vpSel");
+  sel.innerHTML = "";
+  for (const name of Object.keys(r.viewpoints)) {
+    const o = document.createElement("option");
+    o.value = name; o.textContent = name;
+    sel.appendChild(o);
+  }
+  return r.viewpoints;
+}
+$("btnVpSave").onclick = async () => {
+  const name = $("vpName").value.trim() || `view_${Date.now() % 100000}`;
+  await api("/api/viewpoint", {
+    op: "save", name,
+    camera: { rx: Camera.rx, ry: Camera.ry, dist: Camera.dist },
+  });
+  await fillViewpoints();
+  $("vpSel").value = name;
+  status(`viewpoint '${name}' saved`);
+};
+$("btnVpApply").onclick = async () => {
+  const vps = await fillViewpoints();
+  const vp = vps[$("vpSel").value];
+  if (!vp) return;
+  Camera.rx = vp.rx; Camera.ry = vp.ry; Camera.dist = vp.dist;
+  Camera.changed();
+  status(`viewpoint '${$("vpSel").value}' applied`);
+};
 
 $("interpT").oninput = async (e) => {
   const t = parseFloat(e.target.value);

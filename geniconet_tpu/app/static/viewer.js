@@ -24,13 +24,22 @@ const FSHADER = `
 precision mediump float;
 varying vec3 vColor;
 varying vec3 vNormal;
+uniform float uEdge;
 void main() {
+  if (uEdge > 0.5) { gl_FragColor = vec4(0.02, 0.02, 0.04, 1.0); return; }
   vec3 n = normalize(vNormal);
   vec3 l1 = normalize(vec3(0.5, 0.7, 1.0));
   vec3 l2 = normalize(vec3(-0.6, -0.3, -0.8));
   float d = 0.35 + 0.55 * max(dot(n, l1), 0.0) + 0.25 * max(dot(n, l2), 0.0);
   gl_FragColor = vec4(vColor * d, 1.0);
 }`;
+
+// global edge-display toggle (reference generic viewer's showEdges,
+// app.py:1266) — redraws every viewer when flipped
+const Wireframe = {
+  on: false,
+  set(v) { this.on = v; Camera.changed(); },
+};
 
 // ---- tiny mat4 helpers ----
 function mat4mul(a, b) {
@@ -95,7 +104,8 @@ class MeshViewer {
     }
     gl.linkProgram(prog);
     this.prog = prog;
-    this.buffers = { pos: gl.createBuffer(), nor: gl.createBuffer(), col: gl.createBuffer(), idx: gl.createBuffer() };
+    this.buffers = { pos: gl.createBuffer(), nor: gl.createBuffer(), col: gl.createBuffer(), idx: gl.createBuffer(), edge: gl.createBuffer() };
+    this.nEdgeIndices = 0;
     this.attachControls();
     Camera.onChange(() => this.draw());
   }
@@ -148,6 +158,19 @@ class MeshViewer {
     if (this.indexType === gl.UNSIGNED_INT) gl.getExtension("OES_element_index_uint");
     gl.bufferData(gl.ELEMENT_ARRAY_BUFFER, idx, gl.STATIC_DRAW);
     this.nIndices = faces.length;
+    // wireframe edge list (deduped: keep each undirected edge once)
+    const seen = new Set();
+    const edges = [];
+    for (let f = 0; f < faces.length; f += 3) {
+      for (const [a, b] of [[faces[f], faces[f + 1]], [faces[f + 1], faces[f + 2]], [faces[f + 2], faces[f]]]) {
+        const key = a < b ? a * 16777216 + b : b * 16777216 + a;
+        if (!seen.has(key)) { seen.add(key); edges.push(a, b); }
+      }
+    }
+    gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, this.buffers.edge);
+    gl.bufferData(gl.ELEMENT_ARRAY_BUFFER,
+      nv < 65536 ? new Uint16Array(edges) : new Uint32Array(edges), gl.STATIC_DRAW);
+    this.nEdgeIndices = edges.length;
     this.draw();
   }
 
@@ -173,7 +196,19 @@ class MeshViewer {
     bind("aPos", this.buffers.pos);
     bind("aNormal", this.buffers.nor);
     bind("aColor", this.buffers.col);
+    const uEdge = gl.getUniformLocation(this.prog, "uEdge");
+    gl.uniform1f(uEdge, 0);
     gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, this.buffers.idx);
+    if (Wireframe.on) {  // push faces back so edges win the depth test
+      gl.enable(gl.POLYGON_OFFSET_FILL);
+      gl.polygonOffset(1.0, 1.0);
+    }
     gl.drawElements(gl.TRIANGLES, this.nIndices, this.indexType, 0);
+    gl.disable(gl.POLYGON_OFFSET_FILL);
+    if (Wireframe.on && this.nEdgeIndices) {
+      gl.uniform1f(uEdge, 1);
+      gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, this.buffers.edge);
+      gl.drawElements(gl.LINES, this.nEdgeIndices, this.indexType, 0);
+    }
   }
 }

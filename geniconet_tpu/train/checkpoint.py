@@ -31,6 +31,7 @@ __all__ = [
     "load_checkpoint",
     "latest_best_epoch",
     "latest_checkpoint",
+    "available_epochs",
     "checkpoint_path",
     "gc_best_checkpoints",
     "restore_filtered",
@@ -108,6 +109,24 @@ def latest_best_epoch(ckpt_dir: str, model_name: str):
         return None
     best = _best_epochs(ckpt_dir, model_name)
     return max(best) if best else None
+
+
+def available_epochs(ckpt_dir: str, model_name: str) -> dict:
+    """All restorable epochs: {'best': [...], 'periodic': [...]} sorted
+    ascending — backs the app's checkpoint-epoch dropdown (reference
+    `update_epoch_list`, app.py:54-96)."""
+    if not os.path.isdir(ckpt_dir):
+        return {"best": [], "periodic": []}
+    pat = re.compile(re.escape(model_name) + r"_(EB?)(\d+)\.ckpt")
+    out = {"best": [], "periodic": []}
+    for f in os.listdir(ckpt_dir):
+        m = pat.fullmatch(f)
+        if m:
+            out["best" if m.group(1) == "EB" else "periodic"].append(
+                int(m.group(2)))
+    out["best"].sort()
+    out["periodic"].sort()
+    return out
 
 
 def latest_checkpoint(ckpt_dir: str, model_name: str):

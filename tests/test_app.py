@@ -149,5 +149,89 @@ def test_http_server_endpoints(trained_log):
         assert b"GenIcoNet-TPU Explorer" in html
         js = urllib.request.urlopen(f"http://127.0.0.1:{port}/static/viewer.js").read()
         assert b"MeshViewer" in js
+        # round-4 surfaces ------------------------------------------------
+        # checkpoint-epoch list + selection (reference app.py:54-96)
+        eps = post("/api/epochs", {})
+        assert eps["best"], eps
+        target = eps["best"][0]
+        info2 = post("/api/load", {
+            "model": "ico2ico", "logDir": trained_log, "synthetic": 8,
+            "subdivision": 3, "widths": [8, 12, 16], "epoch": target,
+        })
+        assert info2["epoch"] == target
+        assert info2["epochs"]["best"] == eps["best"]
+        # saved viewpoints (reference app.py:612-628)
+        vp = post("/api/viewpoint", {
+            "op": "save", "name": "front",
+            "camera": {"rx": 0.1, "ry": 0.2, "dist": 2.5},
+        })
+        assert vp["viewpoints"]["front"]["dist"] == 2.5
+        vp2 = post("/api/viewpoint", {"op": "list"})
+        assert "front" in vp2["viewpoints"]
+        # wireframe toggle shipped in the viewer
+        assert b"Wireframe" in js and b"LINES" in js
     finally:
         httpd.shutdown()
+
+
+def test_view_file_ply(trained_log, tmp_path):
+    """Generic viewer reads .ply (reference app.py:1271-1274, SHAPE_EXT
+    app.py:1545) — ascii and binary_little_endian."""
+    import struct
+
+    from geniconet_tpu.app.state import AppState
+    from geniconet_tpu.data.offio import read_ply
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    f = np.array([[0, 1, 2], [0, 1, 3]], np.int64)
+
+    ascii_p = tmp_path / "mesh_ascii.ply"
+    with open(ascii_p, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\ncomment made by test\n")
+        fh.write(f"element vertex {len(v)}\n")
+        fh.write("property float x\nproperty float y\nproperty float z\n")
+        fh.write(f"element face {len(f)}\n")
+        fh.write("property list uchar int vertex_indices\nend_header\n")
+        for row in v:
+            fh.write(" ".join(str(float(x)) for x in row) + "\n")
+        for row in f:
+            fh.write("3 " + " ".join(str(int(x)) for x in row) + "\n")
+
+    bin_p = tmp_path / "mesh_bin.ply"
+    with open(bin_p, "wb") as fh:
+        fh.write(b"ply\nformat binary_little_endian 1.0\n")
+        fh.write(f"element vertex {len(v)}\n".encode())
+        fh.write(b"property float x\nproperty float y\nproperty float z\n")
+        fh.write(f"element face {len(f)}\n".encode())
+        fh.write(b"property list uchar int vertex_indices\nend_header\n")
+        for row in v:
+            fh.write(struct.pack("<3f", *row))
+        for row in f:
+            fh.write(struct.pack("<B3i", 3, *row))
+
+    for p in [ascii_p, bin_p]:
+        rv, rf = read_ply(str(p))
+        np.testing.assert_allclose(rv, v)
+        np.testing.assert_array_equal(rf, f)
+
+    st = AppState()
+    st.load(_app_cfg(trained_log))
+    rv, rf = st.view_file(str(bin_p))
+    assert rv.shape == (4, 3) and rf.shape == (2, 3)
+
+
+def test_appstate_epoch_selection(trained_log):
+    """AppState.load(epoch=N) restores that checkpoint; unknown epochs raise
+    with the available list (reference test_epoch -> loadModel flow)."""
+    from geniconet_tpu.app.state import AppState
+    from geniconet_tpu.train import checkpoint as ckpt
+
+    cfg = _app_cfg(trained_log)
+    ckpt_dir = os.path.join(cfg.model_log_dir(), "savedModel")
+    eps = ckpt.available_epochs(ckpt_dir, "ico2ico")
+    assert eps["best"]
+    st = AppState()
+    info = st.load(cfg, epoch=eps["best"][0])
+    assert info["epoch"] == eps["best"][0]
+    with pytest.raises(FileNotFoundError, match="available"):
+        AppState().load(_app_cfg(trained_log), epoch=987654)
