@@ -101,13 +101,30 @@ class AppState:
 
         _encode = jax.jit(lambda v, x: model.apply(v, x, method="encode"))
 
+        # decode transfer format: the head is tanh-bounded, so vertices ship
+        # as int16 fixed-point (resolution 2^-15 ≈ 3e-5, an order below the
+        # model's reconstruction error and the JSON payload's 5-decimal
+        # rounding) — HALVES the device→host bytes per decode, which
+        # dominates end-to-end latency on tunneled backends (round-3
+        # VERDICT #7: 26.5 of 27 ms was shipping fp32 vertices).
+        # GENICONET_DECODE_QUANT=0 restores fp32 transfers.
+        quant = os.environ.get("GENICONET_DECODE_QUANT", "1") == "1"
+
         @jax.jit
         def _decode(v, z):
             out = model.apply(v, z, method="decode")
-            return grid_to_vertices(out, s)
+            verts = grid_to_vertices(out, s)
+            if not quant:
+                return verts
+            q = jnp.round(verts.astype(jnp.float32) * 32767.0)
+            return jnp.clip(q, -32767.0, 32767.0).astype(jnp.int16)
+
+        def _decode_host(z):
+            v = np.asarray(_decode(variables, z))
+            return v.astype(np.float32) / 32767.0 if quant else v
 
         self._encode_fn = lambda x: _encode(variables, x)
-        self._decode_fn = lambda z: _decode(variables, z)
+        self._decode_fn = _decode_host
 
         # latent cache over the dataset (batched)
         zs, lvs = [], []

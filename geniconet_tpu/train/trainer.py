@@ -77,7 +77,23 @@ def _sample_channels(v: np.ndarray, groups: int = 6) -> np.ndarray:
     return np.moveaxis(imgs, -1, 1).reshape(-1, v.shape[1], v.shape[2], 1)
 
 
-def build_model(cfg: Config, axis_name: Optional[str] = None):
+def _vae_split_mode() -> bool:
+    """Round-4 VAE bs36 fast path: split the train step into three
+    dispatched programs (encoder fwd / decoder+loss fwd+bwd / encoder bwd +
+    Adam) so EVERY conv block stays fused while each program stays under the
+    tunneled backend's program-size crash threshold (the full one-program
+    fused set deterministically INTERNAL-crashes at bs36 while every 4-of-5
+    subset passes — artifacts/vae36_bisect.json). Costs one extra encoder
+    forward (rematerialized in the backward program) + two extra dispatches.
+    OPT-IN (GENICONET_VAE_SPLIT=1): the first hardware probe of the split
+    chain still crashed the tunneled backend (bisection in
+    artifacts/split_bisect.json); until a passing configuration is found the
+    default stays the stable one-program subset below."""
+    return os.environ.get("GENICONET_VAE_SPLIT", "0") == "1"
+
+
+def build_model(cfg: Config, axis_name: Optional[str] = None,
+                split_vae: bool = False):
     m = cfg.model
     use_pallas = m.use_pallas
     if use_pallas and jax.default_backend() != "tpu":
@@ -92,8 +108,12 @@ def build_model(cfg: Config, axis_name: Optional[str] = None):
     # ATTRIBUTE, not process state, so a second Trainer in the process
     # cannot clobber it; GENICONET_PALLAS_BLOCKS still overrides.
     pallas_blocks = None
-    if m.is_vae and m.use_pallas and cfg.train.batch_size >= 24:
-        pallas_blocks = "down0,down1,up0,up1"
+    if m.is_vae and m.use_pallas and cfg.train.batch_size >= 24 and not split_vae:
+        # round-4 sweep of every stable subset (artifacts/vae36_sweep.json):
+        # all five conv blocks fused with the mu/logvar heads on XLA is the
+        # fastest stable one-program config (951 vs 893 meshes/s for the
+        # round-3 conv_in+heads-on-XLA workaround)
+        pallas_blocks = "conv_in,down0,down1,up0,up1"
     if m.is_vae:
         return IcoVAE(
             subdivisions=m.subdivisions,
@@ -120,7 +140,21 @@ class Trainer:
 
     def __init__(self, cfg: Config, mesh=None, logger=None):
         self.cfg = cfg
-        self.model = build_model(cfg)
+        # VAE-bs36 split-step eligibility (see _vae_split_mode): decided
+        # here so standalone build_model callers keep the one-program
+        # 4/5-block workaround
+        want_split = (
+            cfg.model.is_vae
+            and cfg.model.use_pallas
+            and cfg.train.batch_size >= 24
+            and mesh is None
+            and _vae_split_mode()
+            # an explicit block restriction means one-program routing is
+            # being probed (scripts/bisect_vae36.py, sweep_vae36.py)
+            and "GENICONET_PALLAS_BLOCKS" not in os.environ
+        )
+        self.model = build_model(cfg, split_vae=want_split)
+        self._split_step = want_split and self.model.use_pallas
         self.mesh = mesh
         # GSPMD cannot partition the Pallas custom calls (side-effecting
         # custom-call sharding RET_CHECK), so fused-kernel data parallelism
@@ -215,6 +249,17 @@ class Trainer:
         self._jit_train_epoch_scan = jax.jit(
             self._train_epoch_scan_impl, donate_argnums=(0,)
         )
+        if self._split_step:
+            self._jit_split_enc_fwd = jax.jit(self._split_enc_fwd)
+            self._jit_split_dec_grad = jax.jit(self._split_dec_grad)
+            self._jit_split_enc_bwd = jax.jit(
+                partial(self._split_enc_bwd, with_gflow=False),
+                donate_argnums=(0,),
+            )
+            self._jit_split_enc_bwd_gflow = jax.jit(
+                partial(self._split_enc_bwd, with_gflow=True),
+                donate_argnums=(0,),
+            )
         self._jit_eval_step = jax.jit(self._eval_step)
         self._jit_logmesh = jax.jit(self._logmesh_fwd)
         self._jit_encode = jax.jit(self._encode_fwd)
@@ -393,6 +438,109 @@ class Trainer:
         )
         return new_state, metrics, misc, gflow
 
+    # ------------------------------------------------------------------
+    # VAE split-step training (three programs; see _vae_split_mode)
+    # ------------------------------------------------------------------
+
+    def _split_enc_fwd(self, params, batch_stats, tables, idx):
+        """Program 1: encoder (+ mu/logvar heads) forward with BN-stats
+        update. Returns the batch_stats of the EXECUTED modules only (flax
+        mutable semantics) — merged with the decoder's in program 3."""
+        x, _ = self._gather_batch(tables, idx)
+        (mu, logvar), upd = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, x,
+            method="encode", train=True, mutable=["batch_stats"],
+        )
+        return mu, logvar, upd["batch_stats"]
+
+    def _split_dec_grad(self, params, batch_stats, rng_key, step, mu, logvar,
+                        tables, idx, wt, epoch):
+        """Program 2: reparameterize + decoder + P2P/KLD loss, forward AND
+        backward — grads w.r.t. decoder params and (mu, logvar)."""
+        _, y = self._gather_batch(tables, idx)
+        rng = jax.random.fold_in(rng_key, step)
+        kf = kl_factor_at_epoch(
+            epoch,
+            step_size=self.cfg.train.factor_step_size,
+            gamma=self.cfg.train.factor_gamma,
+        )
+
+        def loss_fn(params, mu, logvar):
+            z = reparameterize(rng, mu, logvar)
+            recon, upd = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, z,
+                method="decode", train=True, mutable=["batch_stats"],
+            )
+            loss, metrics = p2pkld_loss(
+                recon, mu, logvar, y, self.s, self.factors, kf, wt
+            )
+            return loss, (upd["batch_stats"], metrics)
+
+        (loss, (bstats_dec, metrics)), (g_dec, gmu, glv) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(params, mu, logvar)
+        metrics["total"] = loss
+        return loss, metrics, bstats_dec, g_dec, gmu, glv
+
+    def _split_enc_bwd(self, state, tables, idx, gmu, glv, g_dec,
+                       bstats_enc, bstats_dec, metrics, loss,
+                       with_gflow=False):
+        """Program 3: encoder forward re-materialized + backward (pull the
+        (gmu, glv) cotangents through), grad merge, Adam + CyclicLR."""
+        x, _ = self._gather_batch(tables, idx)
+
+        def enc_fn(params):
+            (mu, logvar), _ = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats}, x,
+                method="encode", train=True, mutable=["batch_stats"],
+            )
+            return mu, logvar
+
+        _, vjp = jax.vjp(enc_fn, state.params)
+        (g_enc,) = vjp((gmu, glv))
+        grads = jax.tree.map(lambda a, b: a + b, g_enc, g_dec)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["lr"] = self.lr_fn(state.step)
+        metrics["finite"] = jnp.isfinite(loss)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        if with_gflow:
+            flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+            gflow = {
+                "/".join(str(getattr(k, "key", k)) for k in path):
+                    jnp.linalg.norm(leaf.astype(jnp.float32))
+                for path, leaf in flat
+            }
+        else:
+            gflow = {}
+        # executed-module union: {encoder, mu_bn, logvar_bn} ∪ {decoder}
+        new_bstats = {**bstats_enc, **bstats_dec}
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bstats,
+            opt_state=new_opt,
+            step=state.step + 1,
+            rng=state.rng,
+        )
+        return new_state, metrics, gflow
+
+    def _split_train_step(self, state, tables, idx, wt, epoch,
+                          with_gflow=False):
+        """The dispatch chain for split-step training; same return contract
+        as gather_train_step's step result."""
+        mu, logvar, bstats_enc = self._jit_split_enc_fwd(
+            state.params, state.batch_stats, tables, idx)
+        loss, metrics, bstats_dec, g_dec, gmu, glv = self._jit_split_dec_grad(
+            state.params, state.batch_stats, state.rng, state.step,
+            mu, logvar, tables, idx, wt, epoch)
+        fn = (self._jit_split_enc_bwd_gflow if with_gflow
+              else self._jit_split_enc_bwd)
+        state, metrics, gflow = fn(
+            state, tables, idx, gmu, glv, g_dec, bstats_enc, bstats_dec,
+            metrics, loss)
+        return state, metrics, (mu, logvar), gflow
+
     def _gather_batch(self, tables, idx, split_packed=False):
         if "xpack" in tables:
             # lane-packed phases (B, 5, h, w, 12) + pre-packed targets
@@ -486,6 +634,9 @@ class Trainer:
         0.18 ms/step relayout copy of the full 180-sample target pack).
         Returns (tables, step_result); callers should thread the returned
         tables into subsequent calls (same arrays, possibly re-laid-out)."""
+        if self._split_step:
+            return tables, self._split_train_step(
+                state, tables, idx, wt, epoch, with_gflow=with_gflow)
         if with_gflow:  # rare logging path: plain jit, accepts any layout
             return tables, self._jit_train_step_gather_gflow(
                 state, tables, idx, wt, epoch)
@@ -662,6 +813,11 @@ class Trainer:
 
         if os.environ.get("GENICONET_EPOCH_SCAN", "1") != "1":
             return False
+        if self._split_step:
+            # one scanned program would re-merge the three split programs
+            # into a single dispatch — exactly the program size the split
+            # exists to avoid
+            return False
         if not batches.device_resident or nb < 2:
             return False
         if batches.sharding is not None and not (
@@ -749,6 +905,14 @@ class Trainer:
                 idx, wt = batch
                 tables, (state, metrics, misc, gflow) = self.gather_train_step(
                     state, tables, idx, wt, epoch, with_gflow=want_gflow)
+            elif self._split_step:
+                # streaming loader under split mode: wrap the batch as a
+                # trivial one-batch table so the split programs apply
+                x, y, wt = batch
+                state, metrics, misc, gflow = self._split_train_step(
+                    state, {"x": x, "y": y},
+                    jnp.arange(x.shape[0], dtype=jnp.int32), wt, epoch,
+                    with_gflow=want_gflow)
             else:
                 x, y, wt = batch
                 step_fn = (self._jit_train_step_gflow if want_gflow

@@ -213,6 +213,110 @@ def test_pallas_2d_mesh_indivisible_falls_back_to_xla(_pallas_interpret):
 
 
 # ---------------------------------------------------------------------------
+# VAE split-step training (three dispatched programs, VERDICT #2)
+# ---------------------------------------------------------------------------
+
+
+class TestVaeSplitStep:
+    @pytest.fixture(autouse=True)
+    def _split_env(self, monkeypatch):
+        # the split chain is opt-in until the hardware bisection lands a
+        # passing configuration (artifacts/split_bisect.json)
+        monkeypatch.setenv("GENICONET_VAE_SPLIT", "1")
+        yield
+
+    def _trainer(self, bs=24):
+        cfg = _cfg("ico2ico_vae", bs=bs)
+        cfg.model.use_pallas = True
+        cfg.train.log_freq = 10_000
+        ds = synthetic_dataset(3, bs, seed=0)
+        tr = Trainer(cfg)
+        st = tr.init_state(ds.inputs[:1], seed=3)
+        return cfg, ds, tr, st
+
+    def test_split_mode_engages_with_all_blocks_fused(self, _pallas_interpret):
+        cfg, ds, tr, st = self._trainer()
+        assert tr._split_step
+        assert tr.model.pallas_blocks is None  # NOT the 4/5-block workaround
+        # bs12 keeps the one-program path (stable on hardware)
+        cfg2, _, tr2, _ = self._trainer(bs=12)
+        assert not tr2._split_step
+
+    def test_split_step_matches_monolithic(self, _pallas_interpret):
+        """The three-program split must compute exactly the one-program
+        step: same loss, same post-Adam params, same running stats. The
+        reference monolith here reproduces the split's RNG derivation
+        (raw fold_in, not flax make_rng) so the comparison is exact up to
+        jit-boundary fusion noise."""
+        import optax
+
+        from geniconet_tpu.losses.p2p import kl_factor_at_epoch, p2pkld_loss
+        from geniconet_tpu.nn.models import reparameterize
+
+        cfg, ds, tr, st = self._trainer()
+        x = jnp.asarray(ds.inputs)
+        y = jnp.asarray(ds.targets)
+        wt = jnp.ones((len(ds),), jnp.float32)
+        b = Batches(ds, cfg.train.batch_size, shuffle=False)
+        tables = tr.prepared_tables(b)
+        idx, wt0 = next(iter(b.epoch_indices()))
+
+        # monolithic reference with the split's rng path
+        def mono(state):
+            rng = jax.random.fold_in(state.rng, state.step)
+            kf = kl_factor_at_epoch(0, step_size=cfg.train.factor_step_size,
+                                    gamma=cfg.train.factor_gamma)
+
+            def loss_fn(params):
+                (mu, logvar), upd1 = tr.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats}, x,
+                    method="encode", train=True, mutable=["batch_stats"])
+                z = reparameterize(rng, mu, logvar)
+                recon, upd2 = tr.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats}, z,
+                    method="decode", train=True, mutable=["batch_stats"])
+                loss, metrics = p2pkld_loss(
+                    recon, mu, logvar, y, tr.s, tr.factors, kf, wt)
+                return loss, (upd1["batch_stats"], upd2["batch_stats"])
+
+            (loss, (b1, b2)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tr.tx.update(grads, state.opt_state,
+                                            state.params)
+            return (loss, optax.apply_updates(state.params, updates),
+                    {**b1, **b2})
+
+        loss_ref, params_ref, bstats_ref = jax.jit(mono)(st)
+
+        tables, (st2, m, misc, _) = tr.gather_train_step(st, tables, idx,
+                                                         wt0, 0)
+        np.testing.assert_allclose(float(m["total"]), float(loss_ref),
+                                   rtol=1e-5)
+        for a, bb in zip(jax.tree.leaves(params_ref),
+                         jax.tree.leaves(st2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-4, atol=1e-6)
+        for a, bb in zip(jax.tree.leaves(bstats_ref),
+                         jax.tree.leaves(st2.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-4, atol=1e-6)
+        # batch_stats tree stays COMPLETE (encoder ∪ heads ∪ decoder)
+        assert set(st2.batch_stats) == set(st.batch_stats)
+        assert int(st2.step) == 1
+        assert misc is not None and misc[0].shape == misc[1].shape
+
+    def test_split_train_epoch_runs(self, _pallas_interpret):
+        cfg, ds, tr, st = self._trainer()
+        b = Batches(ds, cfg.train.batch_size, shuffle=True, seed=5)
+        tr._host_step = 1
+        assert not tr._can_scan_epoch(b, max(len(b), 2))  # split never scans
+        st, info = tr.train_epoch(st, b, 0)
+        loss = float(jax.device_get(info["last_device"]["total"]))
+        assert np.isfinite(loss)
+        assert tr.last_misc is not None
+
+
+# ---------------------------------------------------------------------------
 # advisor round-3 guards
 # ---------------------------------------------------------------------------
 
