@@ -355,8 +355,20 @@ class IcoVAE(nn.Module):
             self.pallas_blocks,
         )
 
-    def encode(self, x, train: bool = False):
-        """grid -> (mu, logvar), each (B, 5·2^(s-3), 2^(s-2), latent_features)."""
+    def encode_trunk(self, x, train: bool = False):
+        """grid -> shared encoder features (B, 5, 2^(s-2), 2^(s-1), w2) in
+        chart-split form — the conv_in/down0/down1 trunk WITHOUT the
+        mu/logvar heads. Split out as a first-class method so the bs36
+        split-step trainer can draw its program boundary here (the heads'
+        backward rides the decoder program; artifacts/split_bisect.json:
+        the full-encoder backward program crosses the backend's crash
+        threshold, the trunk alone does not)."""
+        xc = split_charts(x, self.subdivisions)
+        return self.encoder(xc, train=train)
+
+    def encode_heads(self, feat, train: bool = False):
+        """Trunk features -> (mu, logvar) via the two stride-2 head convs
+        (reference models.py:268-286)."""
         import math
 
         from geniconet_tpu.nn.layers import pallas_block_enabled
@@ -366,8 +378,6 @@ class IcoVAE(nn.Module):
         )
         from geniconet_tpu.ops.phase import phase_split
 
-        xc = split_charts(x, self.subdivisions)
-        feat = self.encoder(xc, train=train)
         s2 = self.subdivisions - 2
         F = self.latent_features
         if (
@@ -411,6 +421,10 @@ class IcoVAE(nn.Module):
             logvar = self.logvar_bn(
                 self.logvar_conv(feat), use_running_average=not train)
         return merge_charts(mu), merge_charts(logvar)
+
+    def encode(self, x, train: bool = False):
+        """grid -> (mu, logvar), each (B, 5·2^(s-3), 2^(s-2), latent_features)."""
+        return self.encode_heads(self.encode_trunk(x, train=train), train=train)
 
     def decode(self, z, train: bool = False):
         zc = split_charts(z, self.subdivisions - 3)

@@ -2087,19 +2087,6 @@ def _phmse_bwd_kernel(*refs, h, w, k, cin, F, cdtype, out_dtype):
     # (k, 1) — rank-2 throughout; rank-1 (k,) arrays abort real Mosaic
     g2 = g_ref[...].reshape(k, 8)[:, 0:1].astype(jnp.float32)
     gb = g2.reshape(k, 1, 1, 1, 1)
-    # pre-pass: pole means need the p=0/p=3 outputs before the per-phase
-    # grad loop; recompute those two phases (cheap head matmuls) instead of
-    # keeping all four phases' temporaries live at once (VMEM)
-    pn = _pole_mean(
-        _phmse_phase(b0[0], y10[0], mul1, add1, mul2, add2, Wh, bh, k, h, w,
-                     cin, F, cdtype)[4], k, h, w, F, south=False)
-    ps = _pole_mean(
-        _phmse_phase(b0[3], y10[3], mul1, add1, mul2, add2, Wh, bh, k, h, w,
-                     cin, F, cdtype)[4], k, h, w, F, south=True)
-    # pole-mean adjoint: each contributing corner cell gets 1/5 of the pole
-    # cotangent (the SAME recipe as _pad_transpose's pole handling)
-    dpole_n = (g2 * 2.0 * (pn - tp[:, 0:F]))[:, None, :] * 0.2  # (k,1,F)
-    dpole_s = (g2 * 2.0 * (ps - tp[:, F : 2 * F]))[:, None, :] * 0.2
 
     W32 = Wh[...].astype(jnp.float32)
     dW_p = jnp.zeros((cin, F), jnp.float32)
@@ -2112,12 +2099,22 @@ def _phmse_bwd_kernel(*refs, h, w, k, cin, F, cdtype, out_dtype):
             b0[p], y10[p], mul1, add1, mul2, add2, Wh, bh, k, h, w, cin, F,
             cdtype)
         dv = gb * 2.0 * (v - tpack[..., p * F : (p + 1) * F])
+        # pole-mean adjoint, computed from THIS phase's own output (north
+        # pole reads only p=0's corners, south only p=3's): each of the 5
+        # contributing corner cells gets 1/5 of the pole cotangent (the SAME
+        # recipe as _pad_transpose). Folding this into the loop removed a
+        # pre-pass that recomputed phases 0 and 3 a second time — 2 of 6
+        # full head recomputes (ROADMAP round-3 item 3).
         if p == 0:  # ee corner cells feed the north pole (pad, not scatter)
+            pn = _pole_mean(v, k, h, w, F, south=False)
+            dpole_n = (g2 * 2.0 * (pn - tp[:, 0:F]))[:, None, :] * 0.2
             corner = jnp.broadcast_to(dpole_n[:, :, None, None, :], (k, 5, 1, 1, F))
             dv = dv + jnp.pad(
                 corner, ((0, 0), (0, 0), (0, h - 1), (0, w - 1), (0, 0))
             )
         if p == 3:  # oq corner cells feed the south pole
+            ps = _pole_mean(v, k, h, w, F, south=True)
+            dpole_s = (g2 * 2.0 * (ps - tp[:, F : 2 * F]))[:, None, :] * 0.2
             corner = jnp.broadcast_to(dpole_s[:, :, None, None, :], (k, 5, 1, 1, F))
             dv = dv + jnp.pad(
                 corner, ((0, 0), (0, 0), (h - 1, 0), (w - 1, 0), (0, 0))

@@ -443,20 +443,25 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _split_enc_fwd(self, params, batch_stats, tables, idx):
-        """Program 1: encoder (+ mu/logvar heads) forward with BN-stats
-        update. Returns the batch_stats of the EXECUTED modules only (flax
-        mutable semantics) — merged with the decoder's in program 3."""
+        """Program 1: encoder TRUNK (conv_in/down0/down1) forward with
+        BN-stats update. The mu/logvar heads ride program 2 — bisection
+        (artifacts/split_bisect.json) put the full-encoder backward over
+        the backend's program-size crash threshold, while the heads
+        coexist fine with the decoder (vae36_sweep 'heads_fused'). Returns
+        the batch_stats of the EXECUTED modules only (flax mutable
+        semantics) — merged with program 2's in program 3."""
         x, _ = self._gather_batch(tables, idx)
-        (mu, logvar), upd = self.model.apply(
+        feat, upd = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, x,
-            method="encode", train=True, mutable=["batch_stats"],
+            method="encode_trunk", train=True, mutable=["batch_stats"],
         )
-        return mu, logvar, upd["batch_stats"]
+        return feat, upd["batch_stats"]
 
-    def _split_dec_grad(self, params, batch_stats, rng_key, step, mu, logvar,
+    def _split_dec_grad(self, params, batch_stats, rng_key, step, feat,
                         tables, idx, wt, epoch):
-        """Program 2: reparameterize + decoder + P2P/KLD loss, forward AND
-        backward — grads w.r.t. decoder params and (mu, logvar)."""
+        """Program 2: mu/logvar heads + reparameterize + decoder + P2P/KLD
+        loss, forward AND backward — grads w.r.t. head+decoder params and
+        the trunk features."""
         _, y = self._gather_batch(tables, idx)
         rng = jax.random.fold_in(rng_key, step)
         kf = kl_factor_at_epoch(
@@ -465,39 +470,44 @@ class Trainer:
             gamma=self.cfg.train.factor_gamma,
         )
 
-        def loss_fn(params, mu, logvar):
+        def loss_fn(params, feat):
+            (mu, logvar), upd_h = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, feat,
+                method="encode_heads", train=True, mutable=["batch_stats"],
+            )
             z = reparameterize(rng, mu, logvar)
-            recon, upd = self.model.apply(
+            recon, upd_d = self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, z,
                 method="decode", train=True, mutable=["batch_stats"],
             )
             loss, metrics = p2pkld_loss(
                 recon, mu, logvar, y, self.s, self.factors, kf, wt
             )
-            return loss, (upd["batch_stats"], metrics)
+            bstats = {**upd_h["batch_stats"], **upd_d["batch_stats"]}
+            return loss, (bstats, metrics, (mu, logvar))
 
-        (loss, (bstats_dec, metrics)), (g_dec, gmu, glv) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2), has_aux=True
-        )(params, mu, logvar)
+        (loss, (bstats_dec, metrics, misc)), (g_dec, gfeat) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                params, feat))
         metrics["total"] = loss
-        return loss, metrics, bstats_dec, g_dec, gmu, glv
+        return loss, metrics, misc, bstats_dec, g_dec, gfeat
 
-    def _split_enc_bwd(self, state, tables, idx, gmu, glv, g_dec,
+    def _split_enc_bwd(self, state, tables, idx, gfeat, g_dec,
                        bstats_enc, bstats_dec, metrics, loss,
                        with_gflow=False):
-        """Program 3: encoder forward re-materialized + backward (pull the
-        (gmu, glv) cotangents through), grad merge, Adam + CyclicLR."""
+        """Program 3: trunk forward re-materialized + backward (pull the
+        gfeat cotangent through), grad merge, Adam + CyclicLR."""
         x, _ = self._gather_batch(tables, idx)
 
         def enc_fn(params):
-            (mu, logvar), _ = self.model.apply(
+            feat, _ = self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats}, x,
-                method="encode", train=True, mutable=["batch_stats"],
+                method="encode_trunk", train=True, mutable=["batch_stats"],
             )
-            return mu, logvar
+            return feat
 
         _, vjp = jax.vjp(enc_fn, state.params)
-        (g_enc,) = vjp((gmu, glv))
+        (g_enc,) = vjp(gfeat)
         grads = jax.tree.map(lambda a, b: a + b, g_enc, g_dec)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -514,7 +524,7 @@ class Trainer:
             }
         else:
             gflow = {}
-        # executed-module union: {encoder, mu_bn, logvar_bn} ∪ {decoder}
+        # executed-module union: {encoder} ∪ {mu_bn, logvar_bn, decoder}
         new_bstats = {**bstats_enc, **bstats_dec}
         new_state = TrainState(
             params=new_params,
@@ -529,17 +539,18 @@ class Trainer:
                           with_gflow=False):
         """The dispatch chain for split-step training; same return contract
         as gather_train_step's step result."""
-        mu, logvar, bstats_enc = self._jit_split_enc_fwd(
+        feat, bstats_enc = self._jit_split_enc_fwd(
             state.params, state.batch_stats, tables, idx)
-        loss, metrics, bstats_dec, g_dec, gmu, glv = self._jit_split_dec_grad(
-            state.params, state.batch_stats, state.rng, state.step,
-            mu, logvar, tables, idx, wt, epoch)
+        loss, metrics, misc, bstats_dec, g_dec, gfeat = (
+            self._jit_split_dec_grad(
+                state.params, state.batch_stats, state.rng, state.step,
+                feat, tables, idx, wt, epoch))
         fn = (self._jit_split_enc_bwd_gflow if with_gflow
               else self._jit_split_enc_bwd)
         state, metrics, gflow = fn(
-            state, tables, idx, gmu, glv, g_dec, bstats_enc, bstats_dec,
+            state, tables, idx, gfeat, g_dec, bstats_enc, bstats_dec,
             metrics, loss)
-        return state, metrics, (mu, logvar), gflow
+        return state, metrics, misc, gflow
 
     def _gather_batch(self, tables, idx, split_packed=False):
         if "xpack" in tables:

@@ -19,14 +19,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "artifacts", "split_bisect.json")
 
 # (name, stage, GENICONET_KERNEL_GEFF or None for default)
+# v1 results (encode/decode partition): p1 ok, p2 ok (±folds), p3 (full
+# encoder bwd+Adam) crash WITH default folds, ok with GEFF=0 — the folds,
+# not raw program size, crossed the threshold in that program. v2 moves
+# the heads' backward into p2 (trunk partition).
 CONFIGS = [
-    ("p1_encfwd", "p1", None),
-    ("p2_decgrad", "p2", None),
-    ("p2_decgrad_nofold", "p2", "0"),
-    ("p3_encbwd", "p3", None),
-    ("p3_encbwd_nofold", "p3", "0"),
-    ("full_nofold", "full", "0"),
-    ("full", "full", None),
+    ("v2_p1_trunkfwd", "p1", None),
+    ("v2_p2_headsdecgrad", "p2", None),
+    ("v2_p3_trunkbwd", "p3", None),
+    ("v2_p3_trunkbwd_nofold", "p3", "0"),
+    ("v2_full", "full", None),
+    ("v2_full_nofold", "full", "0"),
 ]
 
 _BODY = r"""
@@ -63,24 +66,23 @@ for i in range(3):
         tables, (state, m, _, _) = tr.gather_train_step(state, tables, idx, wt, 0)
         print(f"step {{i}}: loss={{float(jax.device_get(m['total'])):.5f}}", flush=True)
         continue
-    mu, logvar, bse = tr._jit_split_enc_fwd(state.params, state.batch_stats, tables, idx)
+    feat, bse = tr._jit_split_enc_fwd(state.params, state.batch_stats, tables, idx)
     if stage == "p1":
-        print(f"p1 {{i}}: mu_sum={{float(jax.device_get(jnp.sum(mu.astype(jnp.float32)))):.4f}}", flush=True)
+        print(f"p1 {{i}}: feat_sum={{float(jax.device_get(jnp.sum(feat.astype(jnp.float32)))):.4f}}", flush=True)
         continue
     if stage == "p2":
-        loss, m, bsd, gd, gmu, glv = tr._jit_split_dec_grad(
+        loss, m, misc, bsd, gd, gfeat = tr._jit_split_dec_grad(
             state.params, state.batch_stats, state.rng, state.step,
-            mu, logvar, tables, idx, wt, 0)
+            feat, tables, idx, wt, 0)
         print(f"p2 {{i}}: loss={{float(jax.device_get(loss)):.5f}}", flush=True)
         continue
     if stage == "p3":
-        # synthetic decoder grads/cotangents so p3 runs without p2
-        gmu = jnp.ones_like(mu) * 1e-3
-        glv = jnp.ones_like(logvar) * 1e-3
+        # synthetic cotangents so p3 runs without p2
+        gfeat = jnp.ones_like(feat) * 1e-3
         gd = jax.tree.map(jnp.zeros_like, state.params)
         m0 = {{"total": jnp.zeros(()), "mse": jnp.zeros(())}}
         state, m, _ = tr._jit_split_enc_bwd(
-            state, tables, idx, gmu, glv, gd, bse, {{}}, m0, jnp.zeros(()))
+            state, tables, idx, gfeat, gd, bse, {{}}, m0, jnp.zeros(()))
         print(f"p3 {{i}}: gn={{float(jax.device_get(m['grad_norm'])):.5f}}", flush=True)
         continue
 print("STAGE_OK", flush=True)
@@ -119,6 +121,7 @@ def main():
             print("[bisect] backend never recovered; aborting", flush=True)
             return 1
         env = dict(os.environ)
+        env["GENICONET_VAE_SPLIT"] = "1"  # the split chain is opt-in
         if geff is not None:
             env["GENICONET_KERNEL_GEFF"] = geff
         else:
