@@ -45,7 +45,11 @@ def build():
     cfg.model.use_pallas = True
     cfg.train.log_grad_freq = 0
     cfg.train.log_freq = 1000  # rare periodic sync: time the loop, not RTTs
-    ds = synthetic_dataset(5, 180, seed=0)  # 5 batches/epoch for the host loop
+    # 20 batches/epoch: long enough that per-epoch costs (plan build +
+    # transfer + scan dispatch, ~1.3 ms on the tunnel) amortize the way a
+    # real dataset's do (ModelNet10 train = 111 batches/epoch), short
+    # enough that 6 timed epochs stay a sub-second window
+    ds = synthetic_dataset(5, 720, seed=0)
     trainer = Trainer(cfg)
     state = trainer.init_state(ds.inputs[:1])
     batches = Batches(ds, 36, shuffle=False)

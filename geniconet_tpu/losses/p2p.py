@@ -85,6 +85,8 @@ def p2p_loss(
     Returns:
       (loss, metrics dict with 'mse', 'cos', 'lap' component values).
     """
+    import os
+
     v = grid_to_vertices(output_grid.astype(jnp.float32), subdivisions)  # (B, V, 3)
     t = target.astype(jnp.float32)
     t_pos = t[..., 0:3]
@@ -93,16 +95,52 @@ def p2p_loss(
     loss = factors.pos * l_pos
     metrics = {"mse": l_pos}
 
+    # normals/Laplacian route: the grid-stencil forms (default) compute the
+    # SAME values as the vertex-table forms via static halo slices instead
+    # of XLA gathers/scatters, which execute element-serially on TPU — a
+    # round-4 trace put ~40% of the VAE step in these fusions.
+    # GENICONET_GRID_LOSS=0 restores the vertex-table route (the two are
+    # pinned equal in tests/test_round4.py).
+    grid_route = (
+        (factors.nor != 0.0 or factors.lap != 0.0)
+        and os.environ.get("GENICONET_GRID_LOSS", "1") == "1"
+    )
+    if grid_route:
+        from geniconet_tpu.geometry import ico
+
+        h, w = ico.chart_shape(subdivisions)
+        B = output_grid.shape[0]
+        V = ico.num_vertices(subdivisions)
+        xc = output_grid.astype(jnp.float32).reshape(B, 5, h, w, 3)
+
     if factors.nor != 0.0:
         from geniconet_tpu.ops.mesh_math import safe_norm
 
         t_nor = t[..., 3:6]
-        n = vertex_normals(v, subdivisions)
-        # torch CosineSimilarity(dim=2) semantics (eps-clamped norms), with
-        # NaN-free gradients at degenerate normals
-        denom = safe_norm(n, keepdims=False) * safe_norm(t_nor, keepdims=False)
-        cos = jnp.sum(n * t_nor, axis=-1) / denom
-        l_nor = _wmean(jnp.mean(1.0 - cos, axis=1), weights, wsum)
+        if grid_route:
+            from geniconet_tpu.ops.mesh_math import vertex_normals_grid
+
+            ng, npl = vertex_normals_grid(xc, subdivisions)
+            tg = t_nor[:, : V - 2].reshape(B, 5, h, w, 3)
+            tp = t_nor[:, V - 2 :]
+            cos_g = jnp.sum(ng * tg, axis=-1) / (
+                safe_norm(ng, keepdims=False) * safe_norm(tg, keepdims=False)
+            )
+            cos_p = jnp.sum(npl * tp, axis=-1) / (
+                safe_norm(npl, keepdims=False) * safe_norm(tp, keepdims=False)
+            )
+            per_sample = (
+                jnp.sum(1.0 - cos_g, axis=(1, 2, 3))
+                + jnp.sum(1.0 - cos_p, axis=1)
+            ) / V
+            l_nor = _wmean(per_sample, weights, wsum)
+        else:
+            n = vertex_normals(v, subdivisions)
+            # torch CosineSimilarity(dim=2) semantics (eps-clamped norms),
+            # with NaN-free gradients at degenerate normals
+            denom = safe_norm(n, keepdims=False) * safe_norm(t_nor, keepdims=False)
+            cos = jnp.sum(n * t_nor, axis=-1) / denom
+            l_nor = _wmean(jnp.mean(1.0 - cos, axis=1), weights, wsum)
         loss = loss + factors.nor * l_nor
         metrics["cos"] = l_nor
     else:
@@ -110,8 +148,20 @@ def p2p_loss(
 
     if factors.lap != 0.0:
         t_lap = t[..., 6:9]
-        lap = laplacian(v, subdivisions)
-        l_lap = _wmean(jnp.mean((lap - t_lap) ** 2, axis=(1, 2)), weights, wsum)
+        if grid_route:
+            from geniconet_tpu.ops.mesh_math import laplacian_grid
+
+            lg, lpl = laplacian_grid(xc, subdivisions)
+            tg = t_lap[:, : V - 2].reshape(B, 5, h, w, 3)
+            tp = t_lap[:, V - 2 :]
+            per_sample = (
+                jnp.sum((lg - tg) ** 2, axis=(1, 2, 3, 4))
+                + jnp.sum((lpl - tp) ** 2, axis=(1, 2))
+            ) / (V * 3.0)
+            l_lap = _wmean(per_sample, weights, wsum)
+        else:
+            lap = laplacian(v, subdivisions)
+            l_lap = _wmean(jnp.mean((lap - t_lap) ** 2, axis=(1, 2)), weights, wsum)
         loss = loss + factors.lap * l_lap
         metrics["lap"] = l_lap
     else:

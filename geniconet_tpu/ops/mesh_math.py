@@ -29,6 +29,8 @@ __all__ = [
     "face_normals",
     "vertex_normals",
     "laplacian",
+    "vertex_normals_grid",
+    "laplacian_grid",
     "laplacian_numpy",
     "vertex_normals_numpy",
 ]
@@ -83,6 +85,219 @@ def laplacian(v: jnp.ndarray, subdivisions: int) -> jnp.ndarray:
     gathered = gathered * jnp.asarray(mask, jnp.float32)[None, :, :, None]
     mean_nbr = jnp.sum(gathered, axis=2) / jnp.asarray(deg)[None, :, None]
     return mean_nbr - v
+
+
+# ---------------------------------------------------------------------------
+# Grid-stencil forms (gather-free: the train-loss fast path)
+# ---------------------------------------------------------------------------
+#
+# The vertex-table forms above are correct but lower to XLA gathers/scatters
+# over (B, V, 6) index tables, which execute element-serially on TPU — a
+# round-4 trace attributed ~40% of the VAE train step to these fusions. On
+# the icosahedral grid, both ops are 7-tap halo stencils: every non-pole
+# vertex IS a grid cell and its <=6 mesh neighbors sit at fixed 3x3 offsets
+# of the `ico_pad` halo (ops/pad.py). The forms below are pure static
+# slices + elementwise math (XLA fuses them; autodiff stays static too).
+#
+# Correctness does not rest on hand-derived seam cases: the per-tap /
+# per-pair validity masks are derived AT TABLE-BUILD TIME from the symbolic
+# `padded_index_map` oracle crossed with the face list — each cell's claimed
+# neighbor/face set is asserted equal to the mesh ground truth, so any
+# seam-order mistake fails construction, not training.
+
+import functools as _functools
+
+# 6 hex-neighbor offsets of the 3x3 stencil (corners (-1,-1)/(1,1) masked,
+# ops/pad.HEX_MASK_3X3), listed in cyclic order around the center so that
+# consecutive pairs are face candidates.
+_HEX_OFFS = ((-1, 0), (-1, 1), (0, 1), (1, 0), (1, -1), (0, -1))
+
+
+@_functools.lru_cache(maxsize=None)
+def _grid_stencil_tables(subdivisions: int):
+    """Static masks for the grid-stencil normal/Laplacian forms.
+
+    Returns dict with:
+      lap_mask  (6, 5, h, w, 1) f32 — tap i is a real, non-duplicate mesh
+                 neighbor of the cell (degree-5 cells mask one tap).
+      deg       (5, h, w, 1) f32 — true mesh degree per cell.
+      pair_masks {(i, j): (5, h, w, 1) f32} — ordered tap pair (i, j) forms
+                 an incident face (x, nbr_i, nbr_j) in the mesh's outward
+                 orientation; every incident face claimed exactly once.
+      pole_pairs (north_pairs, south_pairs): chart-index pairs (ci, cj) such
+                 that (pole, corner_ci, corner_cj) is an oriented face.
+    """
+    from geniconet_tpu.ops.pad import (
+        MASKED,
+        NORTH_SYNTH,
+        SOUTH_SYNTH,
+        padded_index_map,
+    )
+
+    h, w = ico.chart_shape(subdivisions)
+    V = ico.num_vertices(subdivisions)
+    npole, spole = V - 2, V - 1
+    pim = padded_index_map(subdivisions)
+    idmap = np.where(pim == NORTH_SYNTH, npole,
+                     np.where(pim == SOUTH_SYNTH, spole, pim))
+    nbr = np.stack(
+        [idmap[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w]
+         for (di, dj) in _HEX_OFFS]
+    )  # (6, 5, h, w)
+    masked = np.stack(
+        [pim[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w] == MASKED
+         for (di, dj) in _HEX_OFFS]
+    )
+    ctr = idmap[:, 1 : 1 + h, 1 : 1 + w]
+
+    faces = ico.get_ico_faces(subdivisions)
+    oriented = set()
+    edges = set()
+    n_inc = np.zeros(V, np.int64)
+    true_nbrs: list[set] = [set() for _ in range(V)]
+    for f in faces:
+        a, b, c = int(f[0]), int(f[1]), int(f[2])
+        for t in ((a, b, c), (b, c, a), (c, a, b)):
+            oriented.add(t)
+        for u, v_ in ((a, b), (b, c), (c, a)):
+            edges.add((u, v_))
+            edges.add((v_, u))
+            true_nbrs[u].add(v_)
+            true_nbrs[v_].add(u)
+        n_inc[a] += 1
+        n_inc[b] += 1
+        n_inc[c] += 1
+
+    lap_mask = np.zeros((6, 5, h, w), np.float32)
+    deg = np.zeros((5, h, w), np.float32)
+    pair_masks: dict = {}
+    # candidate order: cyclic-consecutive pairs first (the interior case),
+    # then gap-bridging pairs, then everything else
+    candidates = [(i, (i + 1) % 6) for i in range(6)]
+    candidates += [(i, (i + 2) % 6) for i in range(6)]
+    candidates += [
+        (i, j) for i in range(6) for j in range(6)
+        if i != j and (i, j) not in candidates
+    ]
+    for c in range(5):
+        for r in range(h):
+            for q in range(w):
+                x = int(ctr[c, r, q])
+                ns = [int(nbr[i, c, r, q]) for i in range(6)]
+                ok = [not masked[i, c, r, q] for i in range(6)]
+                seen: set = set()
+                for i in range(6):
+                    if ok[i] and (x, ns[i]) in edges and ns[i] not in seen:
+                        lap_mask[i, c, r, q] = 1.0
+                        seen.add(ns[i])
+                if seen != true_nbrs[x]:
+                    raise AssertionError(
+                        f"s={subdivisions} cell {(c, r, q)} (v{x}): stencil "
+                        f"neighbors {sorted(seen)} != mesh {sorted(true_nbrs[x])}"
+                    )
+                deg[c, r, q] = float(len(seen))
+                claimed: set = set()
+                for (i, j) in candidates:
+                    if not (ok[i] and ok[j]):
+                        continue
+                    tri = (x, ns[i], ns[j])
+                    key = frozenset(tri)
+                    if tri in oriented and key not in claimed:
+                        m = pair_masks.setdefault(
+                            (i, j), np.zeros((5, h, w), np.float32))
+                        m[c, r, q] = 1.0
+                        claimed.add(key)
+                if len(claimed) != n_inc[x]:
+                    raise AssertionError(
+                        f"s={subdivisions} cell {(c, r, q)} (v{x}): claimed "
+                        f"{len(claimed)} faces, mesh has {n_inc[x]}"
+                    )
+
+    def pole_ring(pole, corner_ids):
+        pairs = []
+        for ci, a in enumerate(corner_ids):
+            for cj, b in enumerate(corner_ids):
+                if ci != cj and (pole, a, b) in oriented:
+                    pairs.append((ci, cj))
+        assert len(pairs) == 5, (pole, pairs)
+        return tuple(pairs)
+
+    north_corners = [c * h * w for c in range(5)]                # vid(c,0,0)
+    south_corners = [c * h * w + (h - 1) * w + (w - 1) for c in range(5)]
+    return {
+        "lap_mask": lap_mask[..., None],
+        "deg": deg[..., None],
+        "pair_masks": {k: v[..., None] for k, v in pair_masks.items()},
+        "pole_pairs": (
+            pole_ring(npole, north_corners),
+            pole_ring(spole, south_corners),
+        ),
+    }
+
+
+def _pad_taps(xc: jnp.ndarray, subdivisions: int):
+    """ico_pad the chart-split grid and return (center, [6 neighbor views]).
+
+    'average' corners put the pole MEAN in the two pole-adjacent halo cells
+    — exactly the pole vertex position of `grid_to_vertices`, so the
+    pole-neighbor tap of pole-adjacent cells reads the true neighbor."""
+    from geniconet_tpu.ops.pad import ico_pad
+
+    h, w = xc.shape[2], xc.shape[3]
+    P = ico_pad(xc.astype(jnp.float32), subdivisions, "average")
+    taps = [
+        P[:, :, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w, :]
+        for (di, dj) in _HEX_OFFS
+    ]
+    return P[:, :, 1 : 1 + h, 1 : 1 + w, :], taps
+
+
+def vertex_normals_grid(xc: jnp.ndarray, subdivisions: int):
+    """Chart-split position grid (B, 5, h, w, 3) -> (grid normals
+    (B, 5, h, w, 3), pole normals (B, 2, 3)), both unit length.
+
+    Same numerical spec as `vertex_normals` (area-weighted incident-face
+    accumulation, generate.py:20-43): for face (x, a, b) in outward
+    orientation the contribution is cross(a - x, b - x); every incident
+    face of every vertex is claimed exactly once by the static pair masks.
+    """
+    t = _grid_stencil_tables(subdivisions)
+    x, taps = _pad_taps(xc, subdivisions)
+    u = [tap - x for tap in taps]
+    vn = None
+    for (i, j), m in t["pair_masks"].items():
+        contrib = jnp.cross(u[i], u[j]) * m
+        vn = contrib if vn is None else vn + contrib
+    vn = vn / safe_norm(vn)
+    # poles: 5 incident faces each, corners in oriented pairs
+    cn = xc[:, :, 0, 0, :].astype(jnp.float32)                   # (B, 5, 3)
+    cs = xc[:, :, -1, -1, :].astype(jnp.float32)
+    pn = jnp.mean(cn, axis=1, keepdims=True)
+    ps = jnp.mean(cs, axis=1, keepdims=True)
+    un, us = cn - pn, cs - ps
+    npairs, spairs = t["pole_pairs"]
+    nn = sum(jnp.cross(un[:, i], un[:, j]) for (i, j) in npairs)
+    sn = sum(jnp.cross(us[:, i], us[:, j]) for (i, j) in spairs)
+    poles = jnp.stack([nn, sn], axis=1)
+    return vn, poles / safe_norm(poles)
+
+
+def laplacian_grid(xc: jnp.ndarray, subdivisions: int):
+    """Chart-split signal (B, 5, h, w, C) -> (grid Laplacian (B, 5, h, w, C),
+    pole Laplacian (B, 2, C)) — umbrella mean-of-neighbors − self, exactly
+    `laplacian`'s semantics without the (V, 6) gather."""
+    t = _grid_stencil_tables(subdivisions)
+    x, taps = _pad_taps(xc, subdivisions)
+    acc = None
+    for i in range(6):
+        contrib = taps[i] * t["lap_mask"][i]
+        acc = contrib if acc is None else acc + contrib
+    lap = acc / t["deg"] - x
+    # pole neighbors are exactly the 5 chart corners; the pole position is
+    # their mean, so its umbrella Laplacian is identically zero — same as
+    # the vertex-table form on grid_to_vertices output
+    poles = jnp.zeros((xc.shape[0], 2, xc.shape[-1]), jnp.float32)
+    return lap, poles
 
 
 # ---------------------------------------------------------------------------

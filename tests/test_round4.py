@@ -317,6 +317,74 @@ class TestVaeSplitStep:
 
 
 # ---------------------------------------------------------------------------
+# grid-stencil loss math (gather-free normals/Laplacian)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("s", [1, 2, 3, 4])
+def test_grid_stencil_matches_vertex_table(s):
+    """The gather-free grid forms equal the vertex-table forms at every
+    subdivision (the table build itself asserts per-cell neighbor/face
+    coverage against the mesh ground truth)."""
+    from geniconet_tpu.geometry import ico
+    from geniconet_tpu.ops import mesh_math as mm
+    from geniconet_tpu.ops.vertices import grid_to_vertices
+
+    h, w = ico.chart_shape(s)
+    rng = np.random.RandomState(s)
+    B = 2
+    xc = jnp.asarray(rng.randn(B, 5, h, w, 3).astype(np.float32))
+    v = grid_to_vertices(xc.reshape(B, 5 * h, w, 3), s)
+    V = ico.num_vertices(s)
+
+    vg, vp = mm.vertex_normals_grid(xc, s)
+    vn_new = np.concatenate(
+        [np.asarray(vg).reshape(B, V - 2, 3), np.asarray(vp)], axis=1)
+    np.testing.assert_allclose(vn_new, np.asarray(mm.vertex_normals(v, s)),
+                               atol=2e-5)
+    lg, lp = mm.laplacian_grid(xc, s)
+    lap_new = np.concatenate(
+        [np.asarray(lg).reshape(B, V - 2, 3), np.asarray(lp)], axis=1)
+    np.testing.assert_allclose(lap_new, np.asarray(mm.laplacian(v, s)),
+                               atol=2e-5)
+
+
+def test_p2p_loss_grid_route_matches_vertex_route(monkeypatch):
+    """Loss value AND gradient w.r.t. the prediction agree between the
+    grid-stencil route (default) and the vertex-table route."""
+    from geniconet_tpu.losses.p2p import LossFactors, p2p_loss
+
+    s = 3
+    rng = np.random.RandomState(0)
+    B = 4
+    from geniconet_tpu.geometry import ico
+
+    V = ico.num_vertices(s)
+    grid = jnp.asarray(rng.randn(B, 5 * 2**s, 2 ** (s + 1), 3)
+                       .astype(np.float32))
+    target = jnp.asarray(rng.randn(B, V, 9).astype(np.float32))
+    factors = LossFactors.vae()
+    wt = jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32)
+
+    def run():
+        def f(g):
+            loss, m = p2p_loss(g, target, s, factors, wt)
+            return loss, m
+        (loss, m), grad = jax.value_and_grad(f, has_aux=True)(grid)
+        return loss, m, grad
+
+    monkeypatch.setenv("GENICONET_GRID_LOSS", "1")
+    l1, m1, g1 = run()
+    monkeypatch.setenv("GENICONET_GRID_LOSS", "0")
+    l0, m0, g0 = run()
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for k in ("mse", "cos", "lap"):
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
 # advisor round-3 guards
 # ---------------------------------------------------------------------------
 
