@@ -41,3 +41,28 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+import pytest  # noqa: E402
+
+# Quick tier: `pytest -m "not slow" -q` finishes in ~6 min; the full run
+# (CI gate) takes ~30-50 min. Modules listed here are dominated by
+# interpret-mode kernel sweeps and multi-epoch integration runs; a named
+# test can opt OUT of the module default with @pytest.mark.quick.
+_SLOW_MODULES = {
+    "test_cli",                  # end-to-end CLI train/test/encode runs
+    "test_model_pallas_parity",  # whole-model interpret-mode parity
+    "test_pallas_dp",            # 8-virtual-device shard_map steps
+    "test_parallel",             # GSPMD sharding equivalence + s=6
+    "test_round3",               # fused-MSE / encoding-logging integration
+    "test_round4",               # split-step / DP-scan integration
+    "test_train",                # multi-epoch trainer integration
+    "test_phase_kernel",         # interpret-mode kernel grids
+    "test_kernel_fusion",        # interpret-mode fused-block grads
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES and "quick" not in item.keywords:
+            item.add_marker(pytest.mark.slow)
