@@ -45,11 +45,12 @@ def build():
     cfg.model.use_pallas = True
     cfg.train.log_grad_freq = 0
     cfg.train.log_freq = 1000  # rare periodic sync: time the loop, not RTTs
-    # 20 batches/epoch: long enough that per-epoch costs (plan build +
-    # transfer + scan dispatch, ~1.3 ms on the tunnel) amortize the way a
-    # real dataset's do (ModelNet10 train = 111 batches/epoch), short
-    # enough that 6 timed epochs stay a sub-second window
-    ds = synthetic_dataset(5, 720, seed=0)
+    # 10 batches/epoch: long enough that per-epoch costs (plan build +
+    # transfer + scan dispatch, ~1.3 ms on the tunnel) amortize closer to a
+    # real dataset's (ModelNet10 train = 111 batches/epoch); 720+ samples
+    # push the AUTO-layout gather fusion past the backend's 16.35M scoped
+    # VMEM at compile (measured round-4)
+    ds = synthetic_dataset(5, 360, seed=0)
     trainer = Trainer(cfg)
     state = trainer.init_state(ds.inputs[:1])
     batches = Batches(ds, 36, shuffle=False)

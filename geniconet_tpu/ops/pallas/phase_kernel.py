@@ -294,6 +294,18 @@ def _im2col_cin(cin: int) -> bool:
     return 7 * cin <= int(os.environ.get("GENICONET_IM2COL_MAX", "128"))
 
 
+def _k2_pack(cin: int) -> bool:
+    """Pairwise K-packing for narrow-channel convs: two tap slices lane-
+    concatenated into one K=2·cin matmul. At C=64 (the widest decoder
+    block's conv01, 25% MXU at K=64/N=64) this doubles the contraction
+    depth where the full 7-way im2col fails to compile (Mosaic concat
+    error, round-3 negative). Off by default pending hardware validation:
+    GENICONET_K2_MAX=128 enables it for cin <= 64."""
+    import os
+
+    return 2 * cin <= int(os.environ.get("GENICONET_K2_MAX", "0"))
+
+
 def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
     """Shared forward contraction: output phases stack along rows (M) and
     tap sets pack along lanes (N), so each tap is one MXU matmul. Returns
@@ -322,6 +334,16 @@ def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
         stacked = jnp.concatenate([tap_stacked(t) for t in range(7)], axis=1)
         w2 = jnp.concatenate([w_cat[t] for t in range(7)], axis=0)
         acc = jnp.dot(stacked, w2, preferred_element_type=jnp.float32)
+    elif _k2_pack(cin):
+        # pairwise K-packing: 3 matmuls at K=2·cin + 1 at K=cin
+        acc = jnp.zeros((n_out * rows, sum(couts)), jnp.float32)
+        for t0 in range(0, 6, 2):
+            a2 = jnp.concatenate(
+                [tap_stacked(t0), tap_stacked(t0 + 1)], axis=1)
+            w2 = jnp.concatenate([w_cat[t0], w_cat[t0 + 1]], axis=0)
+            acc += jnp.dot(a2, w2, preferred_element_type=jnp.float32)
+        acc += jnp.dot(tap_stacked(6), w_cat[6],
+                       preferred_element_type=jnp.float32)
     else:
         acc = jnp.zeros((n_out * rows, sum(couts)), jnp.float32)
         for t in range(7):
@@ -374,6 +396,23 @@ def _dpad_accumulate(g_groups, w_refs, out_phases, h, w, k, cin):
         per_tap = [contrib7[:, t * cin : (t + 1) * cin] for t in range(7)]
     else:
         per_tap = None
+    if per_tap is None and _k2_pack(cin):
+        # pairwise N-packing: one (rows, ΣC_out) x (ΣC_out, 2·cin) matmul
+        # per tap pair, lane-split after
+        per_tap = []
+        for t0 in range(0, 6, 2):
+            w2 = jnp.concatenate([w_cat[t0], w_cat[t0 + 1]], axis=0)
+            c2 = jax.lax.dot_general(
+                g_cat, w2,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            per_tap += [c2[:, :cin], c2[:, cin : 2 * cin]]
+        per_tap.append(jax.lax.dot_general(
+            g_cat, w_cat[6],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
     for t in range(7):
         contrib = per_tap[t] if per_tap is not None else jax.lax.dot_general(
             g_cat, w_cat[t],
@@ -433,6 +472,31 @@ def _dtaps_accumulate(padded, g_groups, o_refs, out_phases, h, w, k, is_first):
             for o_ref, cout in zip(o_refs, couts):
                 o_ref[t] += dt_cat[:, off : off + cout]
                 off += cout
+        return
+    if _k2_pack(cin):
+        # pairwise M-packing: (rows, 2·cin)ᵀ x (rows, Σcout) per tap pair,
+        # sublane-split after
+        def put(t, dt_cat):
+            off = 0
+            for o_ref, cout in zip(o_refs, couts):
+                o_ref[t] += dt_cat[:, off : off + cout]
+                off += cout
+
+        for t0 in range(0, 6, 2):
+            s2 = jnp.concatenate(
+                [tap_stacked(t0), tap_stacked(t0 + 1)], axis=1)
+            dt2 = jax.lax.dot_general(
+                s2, g_cat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            put(t0, dt2[:cin])
+            put(t0 + 1, dt2[cin : 2 * cin])
+        put(6, jax.lax.dot_general(
+            tap_stacked(6), g_cat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
         return
     for t in range(7):
         dt_cat = jax.lax.dot_general(

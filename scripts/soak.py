@@ -28,6 +28,8 @@ def main():
     p.add_argument("--hours", type=float, default=2.0)
     p.add_argument("--log_dir", default="/tmp/gico_soak")
     p.add_argument("--batch_size", type=int, default=36)
+    p.add_argument("--model", default="ico2ico",
+                   choices=["ico2ico", "ico2ico_vae"])
     a = p.parse_args()
 
     import jax
@@ -43,7 +45,7 @@ def main():
     from geniconet_tpu.train.trainer import Trainer
 
     cfg = Config()
-    cfg.model.name = "ico2ico"
+    cfg.model.name = a.model
     cfg.model.subdivisions = 5
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.use_pallas = True
