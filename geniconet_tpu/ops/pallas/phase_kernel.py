@@ -306,6 +306,18 @@ def _k2_pack(cin: int) -> bool:
     return 2 * cin <= int(os.environ.get("GENICONET_K2_MAX", "0"))
 
 
+def _lane_pack2(a, b):
+    """[a | b] along lanes WITHOUT tpu.concatenate: Mosaic rejects lane
+    concats whose operands carry offset layouts (the halo-column slices
+    feeding tap_stacked), so build the (rows, 2·c) operand as two
+    zero-pads + add — pads lower to masked selects, legal for any layout."""
+    c = a.shape[-1]
+    zero = jnp.array(0, a.dtype)
+    za = jax.lax.pad(a, zero, [(0, 0, 0), (0, c, 0)])
+    zb = jax.lax.pad(b, zero, [(0, 0, 0), (c, 0, 0)])
+    return za + zb
+
+
 def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
     """Shared forward contraction: output phases stack along rows (M) and
     tap sets pack along lanes (N), so each tap is one MXU matmul. Returns
@@ -338,8 +350,7 @@ def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
         # pairwise K-packing: 3 matmuls at K=2·cin + 1 at K=cin
         acc = jnp.zeros((n_out * rows, sum(couts)), jnp.float32)
         for t0 in range(0, 6, 2):
-            a2 = jnp.concatenate(
-                [tap_stacked(t0), tap_stacked(t0 + 1)], axis=1)
+            a2 = _lane_pack2(tap_stacked(t0), tap_stacked(t0 + 1))
             w2 = jnp.concatenate([w_cat[t0], w_cat[t0 + 1]], axis=0)
             acc += jnp.dot(a2, w2, preferred_element_type=jnp.float32)
         acc += jnp.dot(tap_stacked(6), w_cat[6],
@@ -483,8 +494,7 @@ def _dtaps_accumulate(padded, g_groups, o_refs, out_phases, h, w, k, is_first):
                 off += cout
 
         for t0 in range(0, 6, 2):
-            s2 = jnp.concatenate(
-                [tap_stacked(t0), tap_stacked(t0 + 1)], axis=1)
+            s2 = _lane_pack2(tap_stacked(t0), tap_stacked(t0 + 1))
             dt2 = jax.lax.dot_general(
                 s2, g_cat,
                 dimension_numbers=(((0,), (0,)), ((), ())),

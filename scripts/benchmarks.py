@@ -86,19 +86,29 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     configs = [
-        # (label, model, s, bs, dtype, pallas, widths)
-        ("AE s5 bs36 fp32 XLA", "ico2ico", 5, 36, "float32", False, None),
-        ("AE s5 bs36 bf16 XLA", "ico2ico", 5, 36, "bfloat16", False, None),
-        ("AE s5 bs36 bf16 Pallas", "ico2ico", 5, 36, "bfloat16", True, None),
-        # VAE bs36+Pallas crashes the tunneled backend (ROADMAP probe
-        # matrix); bench the stable variants instead
-        ("VAE s5 bs36 bf16 XLA", "ico2ico_vae", 5, 36, "bfloat16", False, None),
-        ("VAE s5 bs12 bf16 Pallas", "ico2ico_vae", 5, 12, "bfloat16", True, None),
-        ("AE s6 bs8 bf16 Pallas", "ico2ico", 6, 8, "bfloat16", True, None),
+        # (label, model, s, bs, dtype, pallas, widths, env)
+        ("AE s5 bs36 fp32 XLA", "ico2ico", 5, 36, "float32", False, None, {}),
+        ("AE s5 bs36 bf16 XLA", "ico2ico", 5, 36, "bfloat16", False, None, {}),
+        ("AE s5 bs36 bf16 Pallas", "ico2ico", 5, 36, "bfloat16", True, None, {}),
+        ("VAE s5 bs36 bf16 XLA", "ico2ico_vae", 5, 36, "bfloat16", False, None, {}),
+        ("VAE s5 bs12 bf16 Pallas", "ico2ico_vae", 5, 12, "bfloat16", True, None, {}),
+        # the one-program bs36 default: all five conv blocks fused, mu/logvar
+        # heads on XLA (fastest stable subset, artifacts/vae36_sweep.json;
+        # the fully-fused one-program set crashes the tunneled backend)
+        ("VAE s5 bs36 bf16 Pallas all-convs (heads XLA; default)",
+         "ico2ico_vae", 5, 36, "bfloat16", True, None, {}),
+        # round-4 split-step v2: every block fused across three dispatched
+        # programs (GENICONET_VAE_SPLIT=1; artifacts/split_bisect.json)
+        ("VAE s5 bs36 bf16 Pallas split-step v2 (all fused)",
+         "ico2ico_vae", 5, 36, "bfloat16", True, None,
+         {"GENICONET_VAE_SPLIT": "1"}),
+        ("AE s6 bs8 bf16 Pallas", "ico2ico", 6, 8, "bfloat16", True, None, {}),
     ]
-    for label, model, s, bs, dtype, pallas, widths in configs:
+    for label, model, s, bs, dtype, pallas, widths, env in configs:
         if a.only and a.only not in label:
             continue
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
         try:
             mps, ms, loss, tr, state, ds = bench_train(
                 model, s, bs, dtype, pallas, a.steps, widths
@@ -111,7 +121,25 @@ def main():
         except Exception as e:
             print(f"{label}: FAILED {e}", file=sys.stderr)
             rows.append((label, None, None, None, None, None))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
+    notes = (
+        "\nNotes: the fully-fused one-program VAE bs36 configuration crashes "
+        "the tunneled backend at execution (ROADMAP probe matrix); the "
+        "bisection (artifacts/vae36_bisect.json) shows every 4-of-5 "
+        "fused-block subset passes, and the round-4 sweep "
+        "(artifacts/vae36_sweep.json) picked all-convs-fused/heads-on-XLA "
+        "as the fastest stable one-program default (the `pallas_blocks` "
+        "model attribute set in build_model). Split-step v2 "
+        "(GENICONET_VAE_SPLIT=1) keeps every block fused across three "
+        "dispatched programs. AE rows use the gather fast path + "
+        "XLA-chosen layouts (the bench.py headline methodology).\n"
+    )
     lines = [
         "# BENCHMARKS (generated by scripts/benchmarks.py)",
         "",
@@ -132,6 +160,7 @@ def main():
         lines = lines[6:]  # rows only
         mode = "a"
     else:
+        lines.append(notes)
         mode = "w"
     out = "\n".join(lines) + "\n"
     print(out)

@@ -28,6 +28,11 @@ CONFIGS = [
     ("merged_std", {"GENICONET_MERGED_BWD": "std"}),
     ("merged_pcs1", {"GENICONET_MERGED_BWD": "pcs1"}),
     ("merged_upd_ds2", {"GENICONET_MERGED_BWD": "upd,ds2"}),
+    # pairwise K-packing of narrow-channel contractions (round-4): doubles
+    # the MXU contraction depth at C<=64 where full im2col fails to compile
+    ("k2_64", {"GENICONET_K2_MAX": "128"}),
+    ("k2_128", {"GENICONET_K2_MAX": "256"}),
+    ("k2_256", {"GENICONET_K2_MAX": "512"}),
 ]
 
 _BENCH = r"""

@@ -33,6 +33,10 @@ CONFIGS = [
     # untried 5-block subsets: heads fused / all conv blocks fused
     ("heads_fused", "down0,down1,up0,up1,heads"),
     ("all_convs", "conv_in,down0,down1,up0,up1"),
+    # round-4 split-step v2 (trunk partition, GENICONET_VAE_SPLIT=1):
+    # every block fused, three dispatched programs (artifacts/
+    # split_bisect.json: v2_full ok) — blocks=None routes via the env
+    ("split_v2", None),
 ]
 
 _BENCH = r"""
@@ -107,7 +111,11 @@ def main():
             print("[sweep] backend never recovered; aborting", flush=True)
             return 1
         env = dict(os.environ)
-        env["GENICONET_PALLAS_BLOCKS"] = blocks
+        if blocks is None:  # split-step v2: all blocks fused, 3 programs
+            env.pop("GENICONET_PALLAS_BLOCKS", None)
+            env["GENICONET_VAE_SPLIT"] = "1"
+        else:
+            env["GENICONET_PALLAS_BLOCKS"] = blocks
         print(f"[sweep] running {name} (blocks={blocks})", flush=True)
         t0 = time.time()
         code = _BENCH.format(repo=REPO)

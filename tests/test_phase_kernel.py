@@ -249,3 +249,28 @@ def test_phase_conv_s1_packed_input(corner_mode):
     for a, b in zip(jax.tree.leaves(gt), jax.tree.leaves(gp)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("corner_mode", ["average"])
+def test_phase_conv_s1_k2_pack_matches(monkeypatch, corner_mode):
+    """K2 lane-packed contraction (GENICONET_K2_MAX, round-4): pairwise
+    pad+add K-packing must be bit-compatible with the per-tap contraction
+    in forward AND both backward matmul shapes."""
+    import os
+
+    phases, _ = _phases(2, C=4, seed=7)
+    taps, bias = _taps(4, 6, 8)
+
+    def loss(phases, taps, bias):
+        outs = pk.fused_phase_conv_s1(phases, taps, bias, corner_mode)
+        return sum(jnp.sum(o**2) for o in outs)
+
+    monkeypatch.delenv("GENICONET_K2_MAX", raising=False)
+    ref_l = loss(phases, taps, bias)
+    ref_g = jax.grad(loss, argnums=(0, 1, 2))(phases, taps, bias)
+    monkeypatch.setenv("GENICONET_K2_MAX", "128")
+    got_l = loss(phases, taps, bias)
+    got_g = jax.grad(loss, argnums=(0, 1, 2))(phases, taps, bias)
+    np.testing.assert_allclose(got_l, ref_l, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
