@@ -30,9 +30,10 @@ CONFIGS = [
     ("merged_upd_ds2", {"GENICONET_MERGED_BWD": "upd,ds2"}),
     # pairwise K-packing of narrow-channel contractions (round-4): doubles
     # the MXU contraction depth at C<=64 where full im2col fails to compile
+    # cin<=64 only: K=128 is exactly the MXU's full contraction depth, and
+    # wider cin gains nothing (K already >=128). k2_128/k2_256 measured
+    # once round-4 (crash pre-barrier); re-add here if k2_64 wins.
     ("k2_64", {"GENICONET_K2_MAX": "128"}),
-    ("k2_128", {"GENICONET_K2_MAX": "256"}),
-    ("k2_256", {"GENICONET_K2_MAX": "512"}),
 ]
 
 _BENCH = r"""

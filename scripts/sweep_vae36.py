@@ -37,6 +37,9 @@ CONFIGS = [
     # every block fused, three dispatched programs (artifacts/
     # split_bisect.json: v2_full ok) — blocks=None routes via the env
     ("split_v2", None),
+    # grid-stencil-loss hypothesis: the v2_full bisect passed BEFORE the
+    # grid-route loss landed; GENICONET_GRID_LOSS=0 restores that program
+    ("split_v2_tableloss", None),
 ]
 
 _BENCH = r"""
@@ -114,6 +117,8 @@ def main():
         if blocks is None:  # split-step v2: all blocks fused, 3 programs
             env.pop("GENICONET_PALLAS_BLOCKS", None)
             env["GENICONET_VAE_SPLIT"] = "1"
+            if name.endswith("tableloss"):
+                env["GENICONET_GRID_LOSS"] = "0"
         else:
             env["GENICONET_PALLAS_BLOCKS"] = blocks
         print(f"[sweep] running {name} (blocks={blocks})", flush=True)
