@@ -72,6 +72,7 @@ def p2p_loss(
     factors: LossFactors,
     weights: jnp.ndarray | None = None,
     wsum=None,
+    allow_grid: bool = True,
 ):
     """P2P loss on a grid prediction vs a (B, V, 9) target.
 
@@ -101,8 +102,14 @@ def p2p_loss(
     # round-4 trace put ~40% of the VAE step in these fusions.
     # GENICONET_GRID_LOSS=0 restores the vertex-table route (the two are
     # pinned equal in tests/test_round4.py).
+    # allow_grid=False: the VAE split-step decoder program measurably
+    # crosses the tunneled backend's program-size crash threshold with the
+    # grid-stencil forms inlined (artifacts/vae36_sweep.json: split_v2
+    # crash vs split_v2_tableloss 1101 meshes/s) — that caller pins the
+    # table route regardless of the env.
     grid_route = (
-        (factors.nor != 0.0 or factors.lap != 0.0)
+        allow_grid
+        and (factors.nor != 0.0 or factors.lap != 0.0)
         and os.environ.get("GENICONET_GRID_LOSS", "1") == "1"
     )
     if grid_route:
@@ -202,9 +209,11 @@ def p2pkld_loss(
     kl_factor,
     weights=None,
     wsum=None,
+    allow_grid: bool = True,
 ):
     """P2P + kl_factor·KLD (reference losses.py:137-142)."""
-    recon, metrics = p2p_loss(output_grid, target, subdivisions, factors, weights, wsum)
+    recon, metrics = p2p_loss(output_grid, target, subdivisions, factors,
+                              weights, wsum, allow_grid=allow_grid)
     kld = kld_loss(mu, logvar, weights, wsum)
     loss = recon + factors.kl * kl_factor * kld
     metrics = dict(metrics)

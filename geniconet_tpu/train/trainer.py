@@ -85,11 +85,14 @@ def _vae_split_mode() -> bool:
     fused set deterministically INTERNAL-crashes at bs36 while every 4-of-5
     subset passes — artifacts/vae36_bisect.json). Costs one extra encoder
     forward (rematerialized in the backward program) + two extra dispatches.
-    OPT-IN (GENICONET_VAE_SPLIT=1): the first hardware probe of the split
-    chain still crashed the tunneled backend (bisection in
-    artifacts/split_bisect.json); until a passing configuration is found the
-    default stays the stable one-program subset below."""
-    return os.environ.get("GENICONET_VAE_SPLIT", "0") == "1"
+    DEFAULT ON since round 4: with the decoder program's loss pinned to
+    the vertex-table route (allow_grid=False in _split_dec_grad — the
+    grid-stencil forms push that program over the crash threshold) the
+    split chain runs at 1101 meshes/s vs 951 for the fastest stable
+    one-program subset (artifacts/vae36_sweep.json) and soaked ≥1 h
+    (artifacts/soak_vae_summary.json). GENICONET_VAE_SPLIT=0 opts out
+    (restores the one-program all-convs-fused/heads-XLA subset)."""
+    return os.environ.get("GENICONET_VAE_SPLIT", "1") == "1"
 
 
 def build_model(cfg: Config, axis_name: Optional[str] = None,
@@ -481,7 +484,11 @@ class Trainer:
                 method="decode", train=True, mutable=["batch_stats"],
             )
             loss, metrics = p2pkld_loss(
-                recon, mu, logvar, y, self.s, self.factors, kf, wt
+                recon, mu, logvar, y, self.s, self.factors, kf, wt,
+                # grid-stencil forms push THIS program over the backend's
+                # crash threshold (vae36_sweep: split_v2 crash vs
+                # split_v2_tableloss ok) — pin the vertex-table route
+                allow_grid=False,
             )
             bstats = {**upd_h["batch_stats"], **upd_d["batch_stats"]}
             return loss, (bstats, metrics, (mu, logvar))

@@ -220,10 +220,22 @@ def test_pallas_2d_mesh_indivisible_falls_back_to_xla(_pallas_interpret):
 class TestVaeSplitStep:
     @pytest.fixture(autouse=True)
     def _split_env(self, monkeypatch):
-        # the split chain is opt-in until the hardware bisection lands a
-        # passing configuration (artifacts/split_bisect.json)
+        # explicit (matches the round-4 default; GENICONET_VAE_SPLIT=0
+        # would opt out back to the one-program subset)
         monkeypatch.setenv("GENICONET_VAE_SPLIT", "1")
         yield
+
+    def test_split_is_the_default(self, monkeypatch, _pallas_interpret):
+        """Round-4: split-step v2 (+ table-route loss pinned inside the
+        decoder program) is the VAE bs36 DEFAULT — 1101 vs 951 meshes/s,
+        artifacts/vae36_sweep.json."""
+        monkeypatch.delenv("GENICONET_VAE_SPLIT", raising=False)
+        _, _, tr, _ = self._trainer()
+        assert tr._split_step
+        monkeypatch.setenv("GENICONET_VAE_SPLIT", "0")
+        _, _, tr0, _ = self._trainer()
+        assert not tr0._split_step
+        assert tr0.model.pallas_blocks == "conv_in,down0,down1,up0,up1"
 
     def _trainer(self, bs=24):
         cfg = _cfg("ico2ico_vae", bs=bs)
