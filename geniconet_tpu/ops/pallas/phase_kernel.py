@@ -299,34 +299,35 @@ def _k2_pack(cin: int) -> bool:
     concatenated into one K=2·cin matmul. At C=64 (the widest decoder
     block's conv01, 25% MXU at K=64/N=64) this doubles the contraction
     depth where the full 7-way im2col fails to compile (Mosaic concat
-    error, round-3 negative). Off by default; GENICONET_K2_MAX=128 would
-    enable it for cin <= 64. HARDWARE-BLOCKED (round-4): the pack's
-    lane-offset layout back-propagates through the tap slices into the
-    shared halo-column concat (Mosaic 'result/input offset mismatch'),
-    and optimization_barrier does not lower inside Pallas TPU kernels —
-    the landing path is bouncing pair operands through VMEM scratch (the
-    _unpack_phases precedent); scripts/probe_k2_micro.py measures the
-    K=128 ceiling from clean refs to decide if that plumbing pays."""
+    error, round-3 negative). Off by default; GENICONET_K2_MAX=128
+    enables it for cin <= 64. The pack bounces pair operands through a
+    scoped VMEM scratch (_lane_pack2) — the earlier pad+add form tripped
+    Mosaic layout back-propagation on hardware (see _lane_pack2);
+    scripts/probe_k2_micro.py measures the K=128 ceiling standalone."""
     import os
 
     return 2 * cin <= int(os.environ.get("GENICONET_K2_MAX", "0"))
 
 
 def _lane_pack2(a, b):
-    """[a | b] along lanes WITHOUT tpu.concatenate: Mosaic rejects lane
+    """[a | b] along lanes via a VMEM scratch bounce. Mosaic rejects lane
     concats whose operands carry offset layouts (the halo-column slices
-    feeding tap_stacked), so build the (rows, 2·c) operand as two
-    zero-pads + add — pads lower to masked selects, legal for any layout."""
+    feeding tap_stacked); the pad+add form compiled but back-propagated
+    the packed operand's lane-offset layout through the tap slices into
+    the shared halo-column concat ("result/input offset mismatch on
+    non-concat dimension", round-4 hardware), and optimization_barrier
+    does not lower inside Pallas TPU kernels. Storing both halves into a
+    scoped scratch ref pins an offset-0 layout on the packed operand —
+    the relayout happens at the store, not in the producers (the
+    _unpack_phases precedent)."""
     c = a.shape[-1]
-    # barrier: without it Mosaic back-propagates the packed operand's
-    # lane-offset layout through the tap slices into the shared halo-column
-    # concat of the padded buffers ("result/input offset mismatch on
-    # non-concat dimension", seen on hardware round-4)
-    a, b = jax.lax.optimization_barrier((a, b))
-    zero = jnp.array(0, a.dtype)
-    za = jax.lax.pad(a, zero, [(0, 0, 0), (0, c, 0)])
-    zb = jax.lax.pad(b, zero, [(0, 0, 0), (c, 0, 0)])
-    return za + zb
+
+    def body(s_ref):
+        s_ref[:, :c] = a
+        s_ref[:, c:] = b
+        return s_ref[...]
+
+    return pl.run_scoped(body, pltpu.VMEM((a.shape[0], 2 * c), a.dtype))
 
 
 def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
