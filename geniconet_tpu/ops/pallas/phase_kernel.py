@@ -309,25 +309,46 @@ def _k2_pack(cin: int) -> bool:
     return 2 * cin <= int(os.environ.get("GENICONET_K2_MAX", "0"))
 
 
-def _lane_pack2(a, b):
-    """[a | b] along lanes via a VMEM scratch bounce. Mosaic rejects lane
-    concats whose operands carry offset layouts (the halo-column slices
-    feeding tap_stacked); the pad+add form compiled but back-propagated
-    the packed operand's lane-offset layout through the tap slices into
-    the shared halo-column concat ("result/input offset mismatch on
-    non-concat dimension", round-4 hardware), and optimization_barrier
-    does not lower inside Pallas TPU kernels. Storing both halves into a
-    scoped scratch ref pins an offset-0 layout on the packed operand —
-    the relayout happens at the store, not in the producers (the
-    _unpack_phases precedent)."""
-    c = a.shape[-1]
+def _lane_packN(parts):
+    """Lane-concat of equal-width 2-D operands via a scoped VMEM scratch
+    bounce. Mosaic rejects lane concats whose operands carry offset
+    layouts (the halo-column slices feeding tap_stacked); the pad+add
+    form compiled but back-propagated the packed operand's lane-offset
+    layout through the tap slices into the shared halo-column concat
+    ("result/input offset mismatch on non-concat dimension", round-4
+    hardware), and optimization_barrier does not lower inside Pallas TPU
+    kernels. Storing the slices into a scoped scratch ref pins an
+    offset-0 layout on the packed operand — the relayout happens at the
+    store, not in the producers (the _unpack_phases precedent)."""
+    c = parts[0].shape[-1]
 
     def body(s_ref):
-        s_ref[:, :c] = a
-        s_ref[:, c:] = b
+        for i, p in enumerate(parts):
+            s_ref[:, i * c : (i + 1) * c] = p
         return s_ref[...]
 
-    return pl.run_scoped(body, pltpu.VMEM((a.shape[0], 2 * c), a.dtype))
+    return pl.run_scoped(
+        body,
+        pltpu.VMEM((parts[0].shape[0], len(parts) * c), parts[0].dtype),
+    )
+
+
+def _lane_pack2(a, b):
+    """[a | b] along lanes (see _lane_packN)."""
+    return _lane_packN([a, b])
+
+
+def _im2col_scratch(cin: int) -> bool:
+    """Whether the 7-tap im2col stack should bounce through VMEM scratch
+    (_lane_packN) instead of a plain lane concat. The plain concat is
+    what ships at cin=3 (K=21, compiles fine); at cin=64 it is a Mosaic
+    internal error (round-3 negative) — the scratch bounce is the same
+    fix as _lane_pack2's, at 7·cin lanes of scratch instead of 2·cin.
+    Off by default (GENICONET_IM2COL_SCRATCH=1 enables; pair with
+    GENICONET_IM2COL_MAX=512 to route the C=64 sites here)."""
+    import os
+
+    return cin >= 8 and os.environ.get("GENICONET_IM2COL_SCRATCH", "0") == "1"
 
 
 def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
@@ -355,7 +376,11 @@ def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
         # K-packed form: one (rows, 7·cin) x (7·cin, ΣC_out) matmul.
         # (Sublane concat of tap slices — Mosaic cannot shape-cast the
         # (7, cin, cout) taps vector directly.)
-        stacked = jnp.concatenate([tap_stacked(t) for t in range(7)], axis=1)
+        if _im2col_scratch(cin):
+            stacked = _lane_packN([tap_stacked(t) for t in range(7)])
+        else:
+            stacked = jnp.concatenate([tap_stacked(t) for t in range(7)],
+                                      axis=1)
         w2 = jnp.concatenate([w_cat[t] for t in range(7)], axis=0)
         acc = jnp.dot(stacked, w2, preferred_element_type=jnp.float32)
     elif _k2_pack(cin):
@@ -483,7 +508,10 @@ def _dtaps_accumulate(padded, g_groups, o_refs, out_phases, h, w, k, is_first):
 
     if _im2col_cin(cin):
         # one (7·cin, rows) x (rows, Σcout) matmul covering all taps
-        stacked7 = jnp.concatenate([tap_stacked(t) for t in range(7)], axis=1)
+        stacked7 = (_lane_packN([tap_stacked(t) for t in range(7)])
+                    if _im2col_scratch(cin) else
+                    jnp.concatenate([tap_stacked(t) for t in range(7)],
+                                    axis=1))
         dt_all = jax.lax.dot_general(
             stacked7, g_cat,
             dimension_numbers=(((0,), (0,)), ((), ())),

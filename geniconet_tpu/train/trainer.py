@@ -88,9 +88,11 @@ def _vae_split_mode() -> bool:
     DEFAULT ON since round 4: with the decoder program's loss pinned to
     the vertex-table route (allow_grid=False in _split_dec_grad — the
     grid-stencil forms push that program over the crash threshold) the
-    split chain runs at 1101 meshes/s vs 951 for the fastest stable
-    one-program subset (artifacts/vae36_sweep.json) and soaked ≥1 h
-    (artifacts/soak_vae_summary.json). GENICONET_VAE_SPLIT=0 opts out
+    split chain runs at ~1101-1137 meshes/s vs 951 for the fastest stable
+    one-program subset (artifacts/vae36_sweep.json); sustained-run
+    evidence: artifacts/sustain_vae36.json (scripts/sustain_vae36.py —
+    soak.py's interleaved validate/checkpoint programs re-cross the
+    crash threshold at bs36/bs40). GENICONET_VAE_SPLIT=0 opts out
     (restores the one-program all-convs-fused/heads-XLA subset)."""
     return os.environ.get("GENICONET_VAE_SPLIT", "1") == "1"
 

@@ -254,8 +254,8 @@ def test_phase_conv_s1_packed_input(corner_mode):
 @pytest.mark.parametrize("corner_mode", ["average"])
 def test_phase_conv_s1_k2_pack_matches(monkeypatch, corner_mode):
     """K2 lane-packed contraction (GENICONET_K2_MAX, round-4): pairwise
-    pad+add K-packing must be bit-compatible with the per-tap contraction
-    in forward AND both backward matmul shapes."""
+    scratch-bounced K-packing must be bit-compatible with the per-tap
+    contraction in forward AND both backward matmul shapes."""
     import os
 
     phases, _ = _phases(2, C=4, seed=7)
@@ -269,6 +269,34 @@ def test_phase_conv_s1_k2_pack_matches(monkeypatch, corner_mode):
     ref_l = loss(phases, taps, bias)
     ref_g = jax.grad(loss, argnums=(0, 1, 2))(phases, taps, bias)
     monkeypatch.setenv("GENICONET_K2_MAX", "128")
+    got_l = loss(phases, taps, bias)
+    got_g = jax.grad(loss, argnums=(0, 1, 2))(phases, taps, bias)
+    np.testing.assert_allclose(got_l, ref_l, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("corner_mode", ["average"])
+def test_phase_conv_s1_im2col_scratch_matches(monkeypatch, corner_mode):
+    """Scratch-bounced 7-tap im2col (GENICONET_IM2COL_SCRATCH, round-4):
+    building the (rows, 7*cin) stacked operand through a scoped VMEM
+    scratch must match the plain lane-concat im2col AND the per-tap
+    contraction, forward and backward."""
+    phases, _ = _phases(2, C=8, seed=11)
+    taps, bias = _taps(8, 6, 9)
+
+    def loss(phases, taps, bias):
+        outs = pk.fused_phase_conv_s1(phases, taps, bias, corner_mode)
+        return sum(jnp.sum(o**2) for o in outs)
+
+    # per-tap reference (im2col off at 7*8=56 > max 0)
+    monkeypatch.setenv("GENICONET_IM2COL_MAX", "0")
+    monkeypatch.delenv("GENICONET_IM2COL_SCRATCH", raising=False)
+    ref_l = loss(phases, taps, bias)
+    ref_g = jax.grad(loss, argnums=(0, 1, 2))(phases, taps, bias)
+    # scratch-bounced im2col
+    monkeypatch.setenv("GENICONET_IM2COL_MAX", "128")
+    monkeypatch.setenv("GENICONET_IM2COL_SCRATCH", "1")
     got_l = loss(phases, taps, bias)
     got_g = jax.grad(loss, argnums=(0, 1, 2))(phases, taps, bias)
     np.testing.assert_allclose(got_l, ref_l, rtol=1e-5)
