@@ -34,6 +34,12 @@ CONFIGS = [
     # wider cin gains nothing (K already >=128). k2_128/k2_256 measured
     # once round-4 (crash pre-barrier); re-add here if k2_64 wins.
     ("k2_64", {"GENICONET_K2_MAX": "128"}),
+    # round-4b: the scratch-bounce variants (_lane_packN) — the pad+add
+    # K2 form and the plain-concat C=64 im2col both died in Mosaic layout
+    # machinery; these bounce the packed operand through scoped VMEM
+    ("k2_64_scratch", {"GENICONET_K2_MAX": "128"}),
+    ("im2col448_scratch", {"GENICONET_IM2COL_MAX": "512",
+                           "GENICONET_IM2COL_SCRATCH": "1"}),
 ]
 
 _BENCH = r"""
