@@ -35,8 +35,13 @@ def build():
     from geniconet_tpu.train.config import Config
     from geniconet_tpu.train.trainer import Trainer
 
+    import os
+
     cfg = Config()
-    cfg.model.name = "ico2ico"
+    # profiling hook (scripts/profile_step.py): trace a different model
+    # through the identical build/step path; the driver's headline metric
+    # always runs with the default (ico2ico)
+    cfg.model.name = os.environ.get("GENICONET_BENCH_MODEL", "ico2ico")
     cfg.model.subdivisions = 5
     cfg.train.batch_size = 36  # README train command (reference README.md:67-69)
     # fast path: bf16 compute + fused Pallas conv kernels. Verified to track

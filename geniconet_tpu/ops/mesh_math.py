@@ -38,6 +38,161 @@ __all__ = [
 _EPS = 1e-10
 
 
+# ---------------------------------------------------------------------------
+# Gather-transpose tables: the loss-route gathers with fast backwards
+# ---------------------------------------------------------------------------
+#
+# XLA lowers the transpose of a gather to a scatter-add, which executes
+# element-serially on TPU — a round-4 trace attributed ~9 ms/step of the
+# VAE bs36 train step to the scatter-adds behind the three `jnp.take`s
+# below (fusion.10/11/12-14, (36, 10242|20480, 3) f32). The mesh topology
+# is STATIC, so every transpose is itself a dense gather over a
+# precomputed inverse-incidence table: custom_vjp wrappers keep the
+# forward bit-identical and replace the backward scatter with a masked
+# gather+sum of the same shape family as the forward.
+
+import functools as _functools
+
+import jax
+
+
+@_functools.lru_cache(maxsize=None)
+def _gather_transpose_tables(subdivisions: int):
+    """Inverse-incidence tables (numpy, cached per topology).
+
+    fc_inv/fc_mask (V, 6): flat indices ``face*3 + corner_slot`` of every
+        (face, slot) pair that references vertex v — the transpose of the
+        three face-corner takes in `face_normals`.
+    vf_inv (F, 3): flat indices ``vertex*6 + j`` of the exactly-3 unmasked
+        vertex-face-table slots that reference face f — the transpose of
+        `vertex_normals`' masked incident-face gather.
+    nb_inv/nb_mask (V, 6): flat indices ``vertex*6 + j`` of the unmasked
+        neighbor-table slots that reference vertex u (adjacency is
+        symmetric, so these are exactly u's neighbors) — the transpose of
+        `laplacian`'s masked neighbor gather.
+    """
+    V = ico.num_vertices(subdivisions)
+    faces = ico.get_ico_faces(subdivisions)
+    F = faces.shape[0]
+    fidx, fmask = ico.get_vertex_face_table(subdivisions)
+    nbrs, nmask = ico.get_neighbor_table(subdivisions)
+
+    fc_inv = np.zeros((V, 6), np.int64)
+    fc_mask = np.zeros((V, 6), np.float32)
+    cnt = np.zeros(V, np.int64)
+    for f_id, tri in enumerate(faces):
+        for k in range(3):
+            u = int(tri[k])
+            fc_inv[u, cnt[u]] = f_id * 3 + k
+            fc_mask[u, cnt[u]] = 1.0
+            cnt[u] += 1
+    assert cnt.max() <= 6
+
+    vf_inv = np.zeros((F, 3), np.int64)
+    cnt = np.zeros(F, np.int64)
+    for v_id in range(V):
+        for j in range(6):
+            if fmask[v_id, j]:
+                f_id = int(fidx[v_id, j])
+                vf_inv[f_id, cnt[f_id]] = v_id * 6 + j
+                cnt[f_id] += 1
+    assert (cnt == 3).all()
+
+    nb_inv = np.zeros((V, 6), np.int64)
+    nb_mask = np.zeros((V, 6), np.float32)
+    cnt = np.zeros(V, np.int64)
+    for v_id in range(V):
+        for j in range(6):
+            if nmask[v_id, j]:
+                u = int(nbrs[v_id, j])
+                nb_inv[u, cnt[u]] = v_id * 6 + j
+                nb_mask[u, cnt[u]] = 1.0
+                cnt[u] += 1
+    assert cnt.max() <= 6
+
+    return {
+        "fc_inv": fc_inv, "fc_mask": fc_mask,
+        "vf_inv": vf_inv,
+        "nb_inv": nb_inv, "nb_mask": nb_mask,
+    }
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _face_corner_takes(v, subdivisions):
+    """(B, V, 3) -> the three (B, F, 3) face-corner gathers of
+    `face_normals`; backward is an inverse-incidence gather, not a
+    scatter-add."""
+    faces = jnp.asarray(ico.get_ico_faces(subdivisions))
+    return tuple(jnp.take(v, faces[:, k], axis=1) for k in range(3))
+
+
+def _face_corner_takes_fwd(v, subdivisions):
+    return _face_corner_takes(v, subdivisions), None
+
+
+def _face_corner_takes_bwd(subdivisions, _, g):
+    t = _gather_transpose_tables(subdivisions)
+    g0, g1, g2 = g
+    B, F, C = g0.shape
+    cat = jnp.stack([g0, g1, g2], axis=2).reshape(B, 3 * F, C)
+    got = jnp.take(cat, jnp.asarray(t["fc_inv"]), axis=1)       # (B, V, 6, C)
+    dv = jnp.sum(got * jnp.asarray(t["fc_mask"])[None, :, :, None], axis=2)
+    return (dv,)
+
+
+_face_corner_takes.defvjp(_face_corner_takes_fwd, _face_corner_takes_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _vf_masked_take(fn, subdivisions):
+    """(B, F, 3) face values -> (B, V, 6, 3) masked incident-face gather
+    (take * mask fused so the transpose is exact); backward gathers each
+    face's 3 referencing table slots."""
+    fidx, fmask = ico.get_vertex_face_table(subdivisions)
+    out = jnp.take(fn, jnp.asarray(fidx), axis=1)
+    return out * jnp.asarray(fmask, jnp.float32)[None, :, :, None]
+
+
+def _vf_masked_take_fwd(fn, subdivisions):
+    return _vf_masked_take(fn, subdivisions), None
+
+
+def _vf_masked_take_bwd(subdivisions, _, g):
+    t = _gather_transpose_tables(subdivisions)
+    B, V, S, C = g.shape
+    flat = g.reshape(B, V * S, C)
+    d_fn = jnp.sum(jnp.take(flat, jnp.asarray(t["vf_inv"]), axis=1), axis=2)
+    return (d_fn,)
+
+
+_vf_masked_take.defvjp(_vf_masked_take_fwd, _vf_masked_take_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _nbr_masked_take(x, subdivisions):
+    """(B, V, C) -> (B, V, 6, C) masked neighbor gather; backward rides the
+    symmetric adjacency's inverse table."""
+    nbrs, mask = ico.get_neighbor_table(subdivisions)
+    out = jnp.take(x, jnp.asarray(nbrs), axis=1)
+    return out * jnp.asarray(mask, jnp.float32)[None, :, :, None]
+
+
+def _nbr_masked_take_fwd(x, subdivisions):
+    return _nbr_masked_take(x, subdivisions), None
+
+
+def _nbr_masked_take_bwd(subdivisions, _, g):
+    t = _gather_transpose_tables(subdivisions)
+    B, V, S, C = g.shape
+    flat = g.reshape(B, V * S, C)
+    got = jnp.take(flat, jnp.asarray(t["nb_inv"]), axis=1)      # (B, V, 6, C)
+    dx = jnp.sum(got * jnp.asarray(t["nb_mask"])[None, :, :, None], axis=2)
+    return (dx,)
+
+
+_nbr_masked_take.defvjp(_nbr_masked_take_fwd, _nbr_masked_take_bwd)
+
+
 def safe_norm(x: jnp.ndarray, axis=-1, keepdims=True, eps: float = _EPS) -> jnp.ndarray:
     """eps-floored L2 norm with a NaN-free gradient at zero vectors.
 
@@ -67,11 +222,9 @@ def vertex_normals(v: jnp.ndarray, subdivisions: int) -> jnp.ndarray:
     Spec: reference generate.py:20-43 (area-weighted accumulation).
     """
     v = v.astype(jnp.float32)
-    faces = jnp.asarray(ico.get_ico_faces(subdivisions))
-    fidx, fmask = ico.get_vertex_face_table(subdivisions)
-    fn = face_normals(v, faces)                                # (B, F, 3)
-    gathered = jnp.take(fn, jnp.asarray(fidx), axis=1)         # (B, V, 6, 3)
-    gathered = gathered * jnp.asarray(fmask, jnp.float32)[None, :, :, None]
+    p0, p1, p2 = _face_corner_takes(v, subdivisions)
+    fn = jnp.cross(p1 - p0, p2 - p0)                           # (B, F, 3)
+    gathered = _vf_masked_take(fn, subdivisions)               # (B, V, 6, 3)
     vn = jnp.sum(gathered, axis=2)                             # (B, V, 3)
     return vn / safe_norm(vn)
 
@@ -79,10 +232,9 @@ def vertex_normals(v: jnp.ndarray, subdivisions: int) -> jnp.ndarray:
 def laplacian(v: jnp.ndarray, subdivisions: int) -> jnp.ndarray:
     """(B, V, C) signal -> (B, V, C) umbrella Laplacian (mean-of-neighbors − self)."""
     v = v.astype(jnp.float32)
-    nbrs, mask = ico.get_neighbor_table(subdivisions)
+    _, mask = ico.get_neighbor_table(subdivisions)
     deg = mask.sum(axis=1).astype(np.float32)                  # (V,)
-    gathered = jnp.take(v, jnp.asarray(nbrs), axis=1)          # (B, V, 6, C)
-    gathered = gathered * jnp.asarray(mask, jnp.float32)[None, :, :, None]
+    gathered = _nbr_masked_take(v, subdivisions)               # (B, V, 6, C)
     mean_nbr = jnp.sum(gathered, axis=2) / jnp.asarray(deg)[None, :, None]
     return mean_nbr - v
 
