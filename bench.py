@@ -138,9 +138,17 @@ def main():
         {"params": state.params, "batch_stats": state.batch_stats}
     )
     s = trainer.s
-    z = jnp.zeros(
-        (1, 5 * 2 ** (s - 3), 2 ** (s - 2), model.widths[-1]), jnp.float32
-    )
+    if hasattr(model, "latent_features"):
+        # VAE: decode() takes z at level s-3, latent_features channels
+        z = jnp.zeros(
+            (1, 5 * 2 ** (s - 4), 2 ** (s - 3), model.latent_features),
+            jnp.float32,
+        )
+    else:
+        # AE: bottleneck at level s-2, widths[-1] channels
+        z = jnp.zeros(
+            (1, 5 * 2 ** (s - 3), 2 ** (s - 2), model.widths[-1]), jnp.float32
+        )
 
     @jax.jit
     def _decode(vars_, zz):

@@ -187,6 +187,28 @@ class _StatsBN(nn.Module):
         )
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        kernel_fn = stats.get("kernel_fn")
+        if kernel_fn is not None:
+            # merged-block path (fused_up_block): the kernel computes this
+            # BN's affine IN-KERNEL from its own accumulated moments, so it
+            # needs the raw (scale, bias) BEFORE running — invert control:
+            # run the kernel from inside the module call (one scope use),
+            # then do the running-average update from the moments it
+            # emitted. Train-mode only (the affine uses batch statistics).
+            assert not self.use_running_average, (
+                "kernel_fn mode computes the affine from batch moments")
+            aux, st = kernel_fn(scale, bias)
+            count = jnp.asarray(stats["count"], jnp.float32)
+            mean = st[0] / count
+            var = jnp.maximum(0.0, st[1] / count - jnp.square(mean))
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+            return aux
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -384,7 +406,9 @@ class UpBlock(nn.Module):
         from geniconet_tpu.ops.phase import phase_merge
         from geniconet_tpu.ops.pallas.phase_kernel import (
             fused_phase_conv_s1,
+            fused_up_block,
             fused_up_dual_conv,
+            merged_block_enabled,
             phase_vmem_ok,
         )
 
@@ -411,6 +435,47 @@ class UpBlock(nn.Module):
                 xd, get_params=True
             )
             fold_ok = self.pallas_blocks is None
+            if (
+                train
+                and self.axis_name is None  # in-kernel affine = local moments
+                and merged_block_enabled(self.name or "")
+            ):
+                # whole block in ONE two-pass kernel: upsample + dual conv +
+                # stats (pass A), in-kernel bn00 affine + conv01 + stats
+                # (pass B) — see phase_kernel.fused_up_block
+                t01, b01 = IcoConvS2S(F, s + 1, stride=1, name="conv01", **kw)(
+                    jnp.zeros((1, F), self.dtype), get_params=True
+                )
+                cnt = 4.0 * x.shape[0] * 5 * h * w
+
+                def _run(gamma, beta):
+                    b0, y10, s00, s01, s10 = fused_up_block(
+                        xd, t00, b00, t10, b10, t01, b01, gamma, beta,
+                        self.corner_mode, fold_ok=fold_ok,
+                        fold_site=self.name or "",
+                    )
+                    return (b0, y10, s01, s10), s00
+
+                b0, y10, s01, s10 = IcoBatchNorm(name="bn00", **bn)(
+                    {"kernel_fn": _run, "count": cnt, "features": F}
+                )
+                mul01, add01 = IcoBatchNorm(name="bn01", **bn)(
+                    {"stats": s01, "count": cnt, "features": F}
+                )
+                mul10, add10 = IcoBatchNorm(name="bn10", **bn)(
+                    {"stats": s10, "count": cnt, "features": F}
+                )
+                if self.return_phases:
+                    return b0, y10, (mul01, add01, mul10, add10)
+                out = tuple(
+                    jnp.maximum(
+                        a.astype(jnp.float32) * mul01 + add01
+                        + b.astype(jnp.float32) * mul10 + add10,
+                        0.0,
+                    ).astype(self.dtype)
+                    for a, b in zip(b0, y10)
+                )
+                return phase_merge(out)
             if train:
                 y00, y10, s00, s10 = fused_up_dual_conv(
                     xd, t00, b00, t10, b10, self.corner_mode, with_stats=True,

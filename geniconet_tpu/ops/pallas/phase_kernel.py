@@ -1861,6 +1861,280 @@ def fused_up_dual_conv(x, taps_a, bias_a, taps_b, bias_b,
     return (ya, yb, sa, sb) if with_stats else (ya, yb)
 
 
+# ------------------------------ fused_up_block ------------------------------
+#
+# A WHOLE UpBlock forward in ONE two-pass pallas_call (ROADMAP round-5
+# item 1: inter-kernel serialization at BatchNorm block boundaries). The
+# block's two kernels (upsample+dual-conv, then BN-apply+conv) are forced
+# apart by BatchNorm: conv01's prologue needs bn00's affine, which needs
+# conv00's GLOBAL batch moments. TPU grids are sequential and accumulator
+# blocks persist across programs, so one kernel with grid = 2·(B/k) can run
+# pass A (programs 0..G-1: upsample + both convs + stats accumulation) and
+# pass B (programs G..2G-1: compute the bn00 affine IN-KERNEL from the
+# accumulated (2, C) moments + gamma/beta, then conv01 with the
+# BN-apply+ReLU prologue) — halving the block's kernel launches and
+# removing the XLA affine glue + layout copies between them.
+#
+# y00 (conv00's output, conv01's input, and a backward residual) must cross
+# the pass boundary through HBM (VMEM holds only k samples). It is emitted
+# as a memory_space=ANY output written by explicit DMA in pass A and read
+# back by explicit DMA in pass B — manual semaphores, so the A→B ordering
+# is defined behavior, not a bet on Mosaic's pipelining depth.
+#
+# The BACKWARD is exactly today's program: the custom VJP recomposes
+# `_pcs1_bwd` (conv01) and `_upd_bwd` (upsample+dual-conv) on the merged
+# kernel's residuals, with the bn00 affine chain (d_gamma, d_beta, and the
+# moments cotangent) as (C,)-sized XLA math between them. Under shard_map
+# data parallelism the affine needs a cross-replica pmean between the
+# passes, which cannot ride inside one kernel — callers gate the merged
+# path off when axis_name is set (layers.UpBlock).
+
+
+def _up_block_kernel(*refs, h, w, k, G, corner_mode, out_dtype, c0, eps,
+                     count):
+    (x_ref, t00_ref, b00_ref, t10_ref, b10_ref, t01_ref, b01_ref,
+     gam_ref, bet_ref) = refs[:9]
+    y10_refs = refs[9:13]
+    b0_refs = refs[13:17]
+    y00_any = refs[17:21]
+    s00_ref, s10_ref, s01_ref = refs[21], refs[22], refs[23]
+    mul_ref, add_ref = refs[24], refs[25]
+    stage = refs[26:30]
+    sems = refs[30]
+    p = pl.program_id(0)
+
+    @pl.when(p < G)
+    def _pass_a():
+        P = jnp.concatenate(
+            [_build_padded(x_ref[i], h, w, corner_mode) for i in range(k)],
+            axis=0,
+        )
+        phases = _upsample_phases(P, h, w)
+        padded = _phase_pad_k(phases, k, h, w, corner_mode)
+        ya, yb = _contract(
+            padded, [t00_ref, t10_ref], [b00_ref, b10_ref], _ALL, h, w, k,
+            out_dtype,
+        )
+        for i in range(4):
+            stage[i][...] = ya[i]
+        cps = [
+            pltpu.make_async_copy(
+                stage[i], y00_any[i].at[pl.ds(p * k, k)], sems.at[i]
+            )
+            for i in range(4)
+        ]
+        for c in cps:
+            c.start()
+        for i in range(4):
+            y10_refs[i][...] = yb[i]
+
+        @pl.when(p == 0)
+        def _():
+            s00_ref[...] = jnp.zeros_like(s00_ref)
+            s10_ref[...] = jnp.zeros_like(s10_ref)
+
+        s00_ref[...] += _stats_partial(ya)
+        s10_ref[...] += _stats_partial(yb)
+        for c in cps:
+            c.wait()
+
+    @pl.when(p >= G)
+    def _pass_b():
+        # bn00 affine from the pass-A moments — _StatsBN's exact formula
+        # (nn/layers.py:193-209, single-replica branch)
+        s = s00_ref[0]
+        mean = s / count
+        var = jnp.maximum(0.0, s00_ref[1] / count - mean * mean)
+        mul = jax.lax.rsqrt(var + eps) * gam_ref[0]
+        add = bet_ref[0] - mean * mul
+
+        @pl.when(p == G)
+        def _():
+            mul_ref[...] = mul.reshape(1, -1)
+            add_ref[...] = add.reshape(1, -1)
+
+        cps = [
+            pltpu.make_async_copy(
+                y00_any[i].at[pl.ds((p - G) * k, k)], stage[i], sems.at[i]
+            )
+            for i in range(4)
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+        phases = tuple(
+            _act_apply(stage[i][...].reshape(k * 5, h, w, c0), mul, add)
+            for i in range(4)
+        )
+        padded = _phase_pad_k(phases, k, h, w, corner_mode)
+        (b0s,) = _contract(
+            padded, [t01_ref], [b01_ref], _ALL, h, w, k, out_dtype
+        )
+        for i in range(4):
+            b0_refs[i][...] = b0s[i]
+
+        @pl.when(p == G)
+        def _():
+            s01_ref[...] = jnp.zeros_like(s01_ref)
+
+        s01_ref[...] += _stats_partial(b0s)
+
+
+def _up_block_fwd_impl(x, t00, b00, t10, b10, t01, b01, gamma, beta,
+                       corner_mode, eps):
+    B = x.shape[0]
+    h, w = x.shape[2], x.shape[3]
+    cin = x.shape[-1]
+    dtype = x.dtype
+    c0, c1, c2 = t00.shape[-1], t10.shape[-1], t01.shape[-1]
+    count = 4.0 * B * 5 * h * w
+    per_sample = 5 * h * w * (14 * cin + 4 * (c0 + c1) + 14 * c0 + 4 * c2) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+    G = B // k
+    kernel = functools.partial(
+        _up_block_kernel, h=h, w=w, k=k, G=G, corner_mode=corner_mode,
+        out_dtype=dtype, c0=c0, eps=eps, count=count,
+    )
+    a_idx = lambda p, nd: (jnp.minimum(p, G - 1),) + (0,) * (nd - 1)
+    b_idx = lambda p, nd: (jnp.maximum(p - G, 0),) + (0,) * (nd - 1)
+    in_specs = [
+        pl.BlockSpec((k, 5, h, w, cin), lambda p: a_idx(p, 5),
+                     memory_space=pltpu.VMEM),
+        _full(), _block((1, c0)), _full(), _block((1, c1)),
+        _full(), _block((1, c2)),
+        _block((1, c0)), _block((1, c0)),
+    ]
+    args = [
+        x, t00, _norm_bias(b00, c0, t00.dtype), t10,
+        _norm_bias(b10, c1, t10.dtype), t01, _norm_bias(b01, c2, t01.dtype),
+        gamma.reshape(1, c0).astype(jnp.float32),
+        beta.reshape(1, c0).astype(jnp.float32),
+    ]
+    out_shape = (
+        [jax.ShapeDtypeStruct((B, 5, h, w, c1), dtype)] * 4    # y10
+        + [jax.ShapeDtypeStruct((B, 5, h, w, c2), dtype)] * 4  # b0
+        + [jax.ShapeDtypeStruct((B, 5, h, w, c0), dtype)] * 4  # y00 (ANY)
+        + [jax.ShapeDtypeStruct((2, c0), jnp.float32),
+           jax.ShapeDtypeStruct((2, c1), jnp.float32),
+           jax.ShapeDtypeStruct((2, c2), jnp.float32)]
+        + [jax.ShapeDtypeStruct((1, c0), jnp.float32)] * 2     # mul00, add00
+    )
+    out_specs = (
+        [pl.BlockSpec((k, 5, h, w, c1), lambda p: a_idx(p, 5),
+                      memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec((k, 5, h, w, c2), lambda p: b_idx(p, 5),
+                        memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4
+        + [_acc_spec((2, c0)), _acc_spec((2, c1)), _acc_spec((2, c2))]
+        + [_acc_spec((1, c0))] * 2
+    )
+    flops = 2 * B * 5 * h * w * 4 * 7 * cin * (c0 + c1) \
+        + 2 * B * 5 * h * w * 4 * 7 * c0 * c2
+    outs = pl.pallas_call(
+        kernel,
+        grid=(2 * G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((k, 5, h, w, c0), dtype)] * 4
+        + [pltpu.SemaphoreType.DMA((4,))],
+        **_params(flops, B * 5 * h * w * (cin + 3 * c0) * dtype.itemsize * 4),
+    )(*args)
+    y10 = tuple(outs[0:4])
+    b0 = tuple(outs[4:8])
+    y00 = tuple(outs[8:12])
+    s00, s10, s01 = outs[12], outs[13], outs[14]
+    mul00, add00 = outs[15].reshape(-1), outs[16].reshape(-1)
+    return b0, y10, y00, s00, s01, s10, mul00, add00
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _upblk(x, t00, b00, t10, b10, t01, b01, gamma, beta,
+           corner_mode, fold_ok, fold_site, eps):
+    b0, y10, _, s00, s01, s10, _, _ = _up_block_fwd_impl(
+        x, t00, b00, t10, b10, t01, b01, gamma, beta, corner_mode, eps)
+    return b0, y10, s00, s01, s10
+
+
+def _upblk_fwd(x, t00, b00, t10, b10, t01, b01, gamma, beta,
+               corner_mode, fold_ok, fold_site, eps):
+    b0, y10, y00, s00, s01, s10, mul00, add00 = _up_block_fwd_impl(
+        x, t00, b00, t10, b10, t01, b01, gamma, beta, corner_mode, eps)
+    res = (x, t00, b00, t10, b10, t01, b01, gamma, beta,
+           y00, y10, b0, s00, mul00, add00)
+    return (b0, y10, s00, s01, s10), res
+
+
+def _upblk_bwd(corner_mode, fold_ok, fold_site, eps, res, g):
+    (x, t00, b00, t10, b10, t01, b01, gamma, beta,
+     y00, y10, b0, s00, mul00, add00) = res
+    g_b0, g_y10, g_s00, g_s01, g_s10 = g
+    # conv01 backward — today's pcs1 program, bit for bit
+    d_y00, dt01, db01, dmul, dadd = _pcs1_bwd(
+        corner_mode, True, True, fold_ok, fold_site,
+        (y00, t01, b01, mul00, add00, b0), (g_b0, g_s01),
+    )
+    # bn00 affine chain: (C,)-sized XLA math (the _StatsBN formula)
+    B, h, w = x.shape[0], x.shape[2], x.shape[3]
+    count = 4.0 * B * 5 * h * w
+
+    def _affine(s, gam, bet):
+        mean = s[0] / count
+        var = jnp.maximum(0.0, s[1] / count - mean * mean)
+        mul = jax.lax.rsqrt(var + eps) * gam
+        return mul, bet - mean * mul
+
+    _, aff_vjp = jax.vjp(_affine, s00, gamma, beta)
+    d_s00_aff, d_gamma, d_beta = aff_vjp(
+        (dmul.reshape(-1).astype(jnp.float32),
+         dadd.reshape(-1).astype(jnp.float32))
+    )
+    gs00 = d_s00_aff + g_s00
+    # upsample + dual-conv backward — today's upd program, bit for bit
+    dx, dt00, db00, dt10, db10 = _upd_bwd(
+        corner_mode, True, fold_ok,
+        (x, t00, b00, t10, b10, (y00, y10)),
+        (d_y00, g_y10, gs00, g_s10),
+    )
+    return (dx, dt00, db00, dt10, db10, dt01, db01,
+            d_gamma.astype(gamma.dtype), d_beta.astype(beta.dtype))
+
+
+_upblk.defvjp(_upblk_fwd, _upblk_bwd)
+
+
+def merged_block_enabled(site: str) -> bool:
+    """GENICONET_MERGED_BLOCK routing for the two-pass block kernels:
+    '' / '0' off (default until hardware-validated), '1' / 'all'
+    everywhere, or a comma list of block names ('up0,up1')."""
+    import os
+
+    v = os.environ.get("GENICONET_MERGED_BLOCK", "0")
+    if v in ("", "0"):
+        return False
+    if v in ("1", "all"):
+        return True
+    return site in {t.strip() for t in v.split(",")}
+
+
+def fused_up_block(x, t00, b00, t10, b10, t01, b01, gamma, beta,
+                   corner_mode="average", fold_ok=True, fold_site="",
+                   eps=1e-5):
+    """A whole UpBlock forward (train mode) in ONE two-pass kernel.
+
+    x: standard level-s tensor (B, 5, h, w, C_in); taps/biases of the
+    block's three convs; gamma/beta = bn00's fp32 scale/bias (the affine is
+    computed in-kernel from the pass-A batch moments — single-replica
+    statistics only; gate off under a data-parallel axis_name).
+
+    Returns (b0 4-phase tuple, y10 4-phase tuple, s00, s01, s10) — the same
+    contract as fused_up_dual_conv + bn00 affine + fused_phase_conv_s1,
+    with identical backward programs (see _upblk_bwd)."""
+    return _upblk(x, t00, b00, t10, b10, t01, b01, gamma, beta,
+                  corner_mode, fold_ok, fold_site, eps)
+
+
 # ----------------------------- fused_pair_head ------------------------------
 #
 # The decoder's last UpBlock tail + 1x1 head + tanh in ONE kernel, in phase

@@ -40,6 +40,12 @@ CONFIGS = [
     # grid-stencil-loss hypothesis: the v2_full bisect passed BEFORE the
     # grid-route loss landed; GENICONET_GRID_LOSS=0 restores that program
     ("split_v2_tableloss", None),
+    # round-4b (post gather-transpose loss backwards, commit 2c4cae2):
+    # the table-route loss no longer emits scatter-adds, so both the
+    # split and one-program loss programs changed shape — re-probe.
+    ("gt_split_v2", None),                 # control: shipping default
+    ("gt_one_prog", "oneprog"),            # 1 program, grid-stencil loss
+    ("gt_one_prog_tableloss", "oneprog"),  # 1 program, table-route loss
 ]
 
 _BENCH = r"""
@@ -117,6 +123,11 @@ def main():
         if blocks is None:  # split-step v2: all blocks fused, 3 programs
             env.pop("GENICONET_PALLAS_BLOCKS", None)
             env["GENICONET_VAE_SPLIT"] = "1"
+            if name.endswith("tableloss"):
+                env["GENICONET_GRID_LOSS"] = "0"
+        elif blocks == "oneprog":  # everything fused, ONE program
+            env.pop("GENICONET_PALLAS_BLOCKS", None)
+            env["GENICONET_VAE_SPLIT"] = "0"
             if name.endswith("tableloss"):
                 env["GENICONET_GRID_LOSS"] = "0"
         else:

@@ -1,0 +1,144 @@
+"""fused_up_block: the two-pass whole-UpBlock kernel vs the two-kernel
+composition (interpret mode — plain-JAX execution of both programs).
+
+The merged kernel computes bn00's affine IN-KERNEL from its pass-A batch
+moments, so parity here covers the in-kernel affine formula, the A->B
+HBM round trip of y00 (manual DMA through the ANY-space output), and the
+recomposed backward (_pcs1_bwd + affine chain + _upd_bwd).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geniconet_tpu.nn.layers import UpBlock
+from geniconet_tpu.ops.pallas import phase_kernel as pk
+
+pytestmark = pytest.mark.usefixtures("interpret_mode")
+
+
+@pytest.fixture()
+def interpret_mode(monkeypatch):
+    monkeypatch.setenv("GENICONET_PALLAS_INTERPRET", "1")
+
+
+_EPS = 1e-5
+
+
+def _mk_args(s=2, B=4, F=8, cin=6, seed=0):
+    h, w = 2**s, 2 ** (s + 1)
+    rng = np.random.RandomState(seed)
+    r = lambda *sh: jnp.asarray(rng.randn(*sh).astype(np.float32))
+    return dict(
+        x=r(B, 5, h, w, cin),
+        t00=r(7, cin, F) * 0.1, b00=r(F) * 0.1,
+        t10=r(7, cin, F) * 0.1, b10=r(F) * 0.1,
+        t01=r(7, F, F) * 0.1, b01=r(F) * 0.1,
+        gamma=1.0 + 0.1 * r(F), beta=0.1 * r(F),
+    ), (B, h, w, rng)
+
+
+def _unmerged(x, t00, b00, t10, b10, t01, b01, gamma, beta, count):
+    y00, y10, s00, s10 = pk.fused_up_dual_conv(
+        x, t00, b00, t10, b10, "average", with_stats=True)
+    mean = s00[0] / count
+    var = jnp.maximum(0.0, s00[1] / count - mean * mean)
+    mul = jax.lax.rsqrt(var + _EPS) * gamma
+    add = beta - mean * mul
+    b0, s01 = pk.fused_phase_conv_s1(
+        y00, t01, b01, "average", act=(mul, add), with_stats=True)
+    return b0, y10, s00, s01, s10
+
+
+def test_fused_up_block_matches_composition():
+    args, (B, h, w, rng) = _mk_args()
+    count = 4.0 * B * 5 * h * w
+    o_m = pk.fused_up_block(**args)
+    o_u = _unmerged(**args, count=count)
+    for a, b in zip(jax.tree.leaves(o_u), jax.tree.leaves(o_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    ct = [jnp.asarray(rng.randn(*np.shape(a)).astype(np.float32))
+          for a in jax.tree.leaves(o_u)]
+
+    def mkloss(f, **kw):
+        def loss(a):
+            out = jax.tree.leaves(f(**a, **kw))
+            return sum(jnp.vdot(o, c) for o, c in zip(out, ct))
+        return loss
+
+    g_m = jax.grad(mkloss(pk.fused_up_block))(args)
+    g_u = jax.grad(mkloss(_unmerged, count=count))(args)
+    scale = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_u))
+    for (pth, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_u)[0],
+        jax.tree_util.tree_flatten_with_path(g_m)[0],
+    ):
+        name = "/".join(str(getattr(k, "key", k)) for k in pth)
+        # pre-BN bias grads are ~0 by BN shift-invariance — compare on the
+        # overall gradient scale, not per-leaf (catastrophic cancellation)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5 * scale, err_msg=name
+        )
+
+
+def test_upblock_layer_merged_route(monkeypatch):
+    """End-to-end layer parity: outputs, running stats, and param grads of
+    the GENICONET_MERGED_BLOCK route vs the default two-kernel route."""
+    s, B, F, cin = 2, 4, 8, 6
+    h, w = 2**s, 2 ** (s + 1)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, 5, h, w, cin).astype(np.float32))
+    blk = UpBlock(F, s, use_pallas=True, dtype=jnp.float32)
+    monkeypatch.setenv("GENICONET_MERGED_BLOCK", "0")
+    vars0 = blk.init(jax.random.PRNGKey(0), x, train=True)
+    out_u, upd_u = blk.apply(vars0, x, train=True, mutable=["batch_stats"])
+    monkeypatch.setenv("GENICONET_MERGED_BLOCK", "all")
+    out_m, upd_m = blk.apply(vars0, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(out_u), np.asarray(out_m), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(upd_u), jax.tree.leaves(upd_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    ct = jnp.asarray(rng.randn(*out_u.shape).astype(np.float32))
+
+    def loss(params, env):
+        monkeypatch.setenv("GENICONET_MERGED_BLOCK", env)
+        out, _ = blk.apply(
+            {"params": params, "batch_stats": vars0["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.vdot(out, ct)
+
+    g_u = jax.grad(lambda p: loss(p, "0"))(vars0["params"])
+    g_m = jax.grad(lambda p: loss(p, "all"))(vars0["params"])
+    scale = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_u))
+    for (pth, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_u)[0],
+        jax.tree_util.tree_flatten_with_path(g_m)[0],
+    ):
+        name = "/".join(str(getattr(k, "key", k)) for k in pth)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5 * scale, err_msg=name
+        )
+
+
+def test_upblock_merged_gated_off_under_axis_name(monkeypatch):
+    """The in-kernel affine uses single-replica moments — under a DP
+    axis_name the layer must stay on the two-kernel route (whose _StatsBN
+    pmean keeps DP == single-device). Proxy: param trees and outputs are
+    produced without error and match the env-off route, because the env
+    gate is ignored when axis_name is set."""
+    monkeypatch.setenv("GENICONET_MERGED_BLOCK", "all")
+    s, B, F, cin = 2, 2, 4, 3
+    h, w = 2**s, 2 ** (s + 1)
+    x = jnp.zeros((B, 5, h, w, cin), jnp.float32)
+    blk = UpBlock(F, s, use_pallas=True, dtype=jnp.float32, axis_name="data")
+    # init traces outside shard_map: axis_name gate must route unmerged
+    # (a merged trace would still compile, but the affine would be local)
+    vars0 = jax.eval_shape(
+        lambda: blk.init(jax.random.PRNGKey(0), x, train=True))
+    assert "bn00" in vars0["params"]
