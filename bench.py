@@ -139,9 +139,10 @@ def main():
     )
     s = trainer.s
     if hasattr(model, "latent_features"):
-        # VAE: decode() takes z at level s-3, latent_features channels
+        # VAE: decode() takes z at level s-3 — (B, 5·2^(s-3), 2^(s-2), F)
+        # (nn/models.py IcoVAE.encode docstring; reference models.py:268-286)
         z = jnp.zeros(
-            (1, 5 * 2 ** (s - 4), 2 ** (s - 3), model.latent_features),
+            (1, 5 * 2 ** (s - 3), 2 ** (s - 2), model.latent_features),
             jnp.float32,
         )
     else:

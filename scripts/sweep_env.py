@@ -40,6 +40,11 @@ CONFIGS = [
     ("k2_64_scratch", {"GENICONET_K2_MAX": "128"}),
     ("im2col448_scratch", {"GENICONET_IM2COL_MAX": "512",
                            "GENICONET_IM2COL_SCRATCH": "1"}),
+    # round-4c: two-pass whole-UpBlock kernels (fused_up_block) — one
+    # pallas_call per block instead of two, bn00 affine in-kernel
+    ("merged_up2", {"GENICONET_MERGED_BLOCK": "up2"}),
+    ("merged_up12", {"GENICONET_MERGED_BLOCK": "up1,up2"}),
+    ("merged_up_all", {"GENICONET_MERGED_BLOCK": "all"}),
 ]
 
 _BENCH = r"""
