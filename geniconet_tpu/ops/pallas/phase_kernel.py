@@ -1890,7 +1890,7 @@ def fused_up_dual_conv(x, taps_a, bias_a, taps_b, bias_b,
 # path off when axis_name is set (layers.UpBlock).
 
 
-def _up_block_kernel(*refs, h, w, k, G, corner_mode, out_dtype, c0, eps,
+def _up_block_kernel(*refs, h, w, k, G, corner_mode, out_dtype, c0, c0p, eps,
                      count):
     (x_ref, t00_ref, b00_ref, t10_ref, b10_ref, t01_ref, b01_ref,
      gam_ref, bet_ref) = refs[:9]
@@ -1915,8 +1915,15 @@ def _up_block_kernel(*refs, h, w, k, G, corner_mode, out_dtype, c0, eps,
             padded, [t00_ref, t10_ref], [b00_ref, b10_ref], _ALL, h, w, k,
             out_dtype,
         )
+        # the cross-pass HBM buffer is lane-padded to c0p (a 128 multiple):
+        # Mosaic rejects sliced DMAs on HBM memrefs whose lane dim is below
+        # the (8,128) tile, which is exactly up2's c0=64 — write into the
+        # low lanes of the padded stage and DMA full tiles
         for i in range(4):
-            stage[i][...] = ya[i]
+            if c0p == c0:
+                stage[i][...] = ya[i]
+            else:
+                stage[i][:, :, :, :, 0:c0] = ya[i]
         cps = [
             pltpu.make_async_copy(
                 stage[i], y00_any[i].at[pl.ds(p * k, k)], sems.at[i]
@@ -1964,7 +1971,9 @@ def _up_block_kernel(*refs, h, w, k, G, corner_mode, out_dtype, c0, eps,
         for c in cps:
             c.wait()
         phases = tuple(
-            _act_apply(stage[i][...].reshape(k * 5, h, w, c0), mul, add)
+            _act_apply(
+                stage[i][:, :, :, :, 0:c0].reshape(k * 5, h, w, c0), mul, add
+            )
             for i in range(4)
         )
         padded = _phase_pad_k(phases, k, h, w, corner_mode)
@@ -1988,13 +1997,15 @@ def _up_block_fwd_impl(x, t00, b00, t10, b10, t01, b01, gamma, beta,
     cin = x.shape[-1]
     dtype = x.dtype
     c0, c1, c2 = t00.shape[-1], t10.shape[-1], t01.shape[-1]
+    c0p = -(-c0 // 128) * 128  # lane-tile-aligned cross-pass buffer (up2: 64->128)
     count = 4.0 * B * 5 * h * w
-    per_sample = 5 * h * w * (14 * cin + 4 * (c0 + c1) + 14 * c0 + 4 * c2) * 4
+    per_sample = 5 * h * w * (
+        14 * cin + 4 * (c0 + c1) + 14 * c0 + 4 * (c0p - c0) + 4 * c2) * 4
     k = _choose_k(B, per_sample, 5 * h * w)
     G = B // k
     kernel = functools.partial(
         _up_block_kernel, h=h, w=w, k=k, G=G, corner_mode=corner_mode,
-        out_dtype=dtype, c0=c0, eps=eps, count=count,
+        out_dtype=dtype, c0=c0, c0p=c0p, eps=eps, count=count,
     )
     a_idx = lambda p, nd: (jnp.minimum(p, G - 1),) + (0,) * (nd - 1)
     b_idx = lambda p, nd: (jnp.maximum(p - G, 0),) + (0,) * (nd - 1)
@@ -2014,7 +2025,7 @@ def _up_block_fwd_impl(x, t00, b00, t10, b10, t01, b01, gamma, beta,
     out_shape = (
         [jax.ShapeDtypeStruct((B, 5, h, w, c1), dtype)] * 4    # y10
         + [jax.ShapeDtypeStruct((B, 5, h, w, c2), dtype)] * 4  # b0
-        + [jax.ShapeDtypeStruct((B, 5, h, w, c0), dtype)] * 4  # y00 (ANY)
+        + [jax.ShapeDtypeStruct((B, 5, h, w, c0p), dtype)] * 4  # y00 (ANY)
         + [jax.ShapeDtypeStruct((2, c0), jnp.float32),
            jax.ShapeDtypeStruct((2, c1), jnp.float32),
            jax.ShapeDtypeStruct((2, c2), jnp.float32)]
@@ -2037,13 +2048,15 @@ def _up_block_fwd_impl(x, t00, b00, t10, b10, t01, b01, gamma, beta,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((k, 5, h, w, c0), dtype)] * 4
+        scratch_shapes=[pltpu.VMEM((k, 5, h, w, c0p), dtype)] * 4
         + [pltpu.SemaphoreType.DMA((4,))],
         **_params(flops, B * 5 * h * w * (cin + 3 * c0) * dtype.itemsize * 4),
     )(*args)
     y10 = tuple(outs[0:4])
     b0 = tuple(outs[4:8])
-    y00 = tuple(outs[8:12])
+    y00 = tuple(
+        o if c0p == c0 else o[..., :c0] for o in outs[8:12]
+    )
     s00, s10, s01 = outs[12], outs[13], outs[14]
     mul00, add00 = outs[15].reshape(-1), outs[16].reshape(-1)
     return b0, y10, y00, s00, s01, s10, mul00, add00

@@ -41,10 +41,16 @@ CONFIGS = [
     ("im2col448_scratch", {"GENICONET_IM2COL_MAX": "512",
                            "GENICONET_IM2COL_SCRATCH": "1"}),
     # round-4c: two-pass whole-UpBlock kernels (fused_up_block) — one
-    # pallas_call per block instead of two, bn00 affine in-kernel
+    # pallas_call per block instead of two, bn00 affine in-kernel.
+    # The *_pad variants re-run after the c0p lane-tile fix (the unpadded
+    # ANY-space y00 buffer at up2's c0=64 was an illegal sliced HBM DMA —
+    # Mosaic 'slice shape along dim 4 must be aligned to tiling (128)')
     ("merged_up2", {"GENICONET_MERGED_BLOCK": "up2"}),
     ("merged_up12", {"GENICONET_MERGED_BLOCK": "up1,up2"}),
     ("merged_up_all", {"GENICONET_MERGED_BLOCK": "all"}),
+    ("merged_up_all_pad", {"GENICONET_MERGED_BLOCK": "all"}),
+    ("merged_up2_pad", {"GENICONET_MERGED_BLOCK": "up2"}),
+    ("merged_up01_pad", {"GENICONET_MERGED_BLOCK": "up0,up1"}),
 ]
 
 _BENCH = r"""
