@@ -741,9 +741,35 @@ class Trainer:
                 out_shardings=(self._gather_auto_state_fmts, None, None,
                                None),
             )
+            # layout application must go through a COMPILED copy: device_put
+            # with a layout-only-different Format is a silent no-op when the
+            # sharding already matches, which left tables in prep()'s layout
+            # and made the pinned jit reject its own probed formats the
+            # first time a program (merged blocks) probed a layout that
+            # differs from prep()'s output
+            self._gather_auto_relayout = jax.jit(
+                lambda t: t, out_shardings=self._gather_auto_fmts)
             self._gather_auto_state = None
             self._gather_auto_key = key
-        return jax.device_put(tables, self._gather_auto_fmts)
+
+        def _match(a, f):
+            lay = getattr(f, "layout", None)
+            if lay is None:
+                return True
+            fmt = getattr(a, "format", None)
+            return fmt is not None and fmt.layout == lay
+
+        if getattr(self, "_gather_auto_failed", None) == self._gather_auto_key:
+            return None  # memoized: probed layouts unrealizable for this key
+        fmts = self._gather_auto_fmts
+        pairs = list(zip(jax.tree.leaves(tables), jax.tree.leaves(fmts)))
+        if not all(_match(a, f) for a, f in pairs):
+            tables = self._gather_auto_relayout(tables)
+            pairs = list(zip(jax.tree.leaves(tables), jax.tree.leaves(fmts)))
+            if not all(_match(a, f) for a, f in pairs):
+                self._gather_auto_failed = self._gather_auto_key
+                return None  # cannot realize the probed layouts: plain jit
+        return tables
 
     def _eval_step(self, state: TrainState, x, y, wt, epoch):
         rng = jax.random.fold_in(state.rng, 0x7FFFFFFF)
