@@ -300,7 +300,9 @@ class DownBlock(nn.Module):
         never re-interleaves in HBM)."""
         from geniconet_tpu.ops.phase import phase_merge, phase_split
         from geniconet_tpu.ops.pallas.phase_kernel import (
+            fused_down_block,
             fused_dual_s2_conv,
+            merged_block_enabled,
             phase_vmem_ok,
         )
 
@@ -331,6 +333,42 @@ class DownBlock(nn.Module):
                 xp[0], get_params=True
             )
             fold_ok = self.pallas_blocks is None
+            if (
+                train
+                and self.axis_name is None  # in-kernel affine = local moments
+                and merged_block_enabled(self.name or "")
+            ):
+                # whole block in ONE two-pass kernel: dual stride-2 + stats
+                # (pass A), in-kernel bn00 affine + spatial conv01 + stats
+                # (pass B) — see phase_kernel.fused_down_block
+                t01, b01 = IcoConvS2S(F, s - 1, stride=1, name="conv01", **kw)(
+                    jnp.zeros((1, F), self.dtype), get_params=True
+                )
+                cnt = 1.0 * xp[0].shape[0] * 5 * h2 * w2
+
+                def _run(gamma, beta):
+                    b0, y10, s00, s01, s10 = fused_down_block(
+                        xp, t00, b00, t10, b10, t01, b01, gamma, beta, s,
+                        in_act=in_act, corner_mode=self.corner_mode,
+                        fold_ok=fold_ok,
+                    )
+                    return (b0, y10, s01, s10), s00
+
+                b0, y10, s01, s10 = IcoBatchNorm(name="bn00", **bn)(
+                    {"kernel_fn": _run, "count": cnt, "features": F}
+                )
+                mul01, add01 = IcoBatchNorm(name="bn01", **bn)(
+                    {"stats": s01, "count": cnt, "features": F}
+                )
+                mul10, add10 = IcoBatchNorm(name="bn10", **bn)(
+                    {"stats": s10, "count": cnt, "features": F}
+                )
+                out = jnp.maximum(
+                    b0.astype(jnp.float32) * mul01 + add01
+                    + y10.astype(jnp.float32) * mul10 + add10,
+                    0.0,
+                )
+                return out.astype(self.dtype)
             if train:
                 y00, y10, s00, s10 = fused_dual_s2_conv(
                     xp, t00, b00, t10, b10, self.corner_mode,

@@ -2148,6 +2148,274 @@ def fused_up_block(x, t00, b00, t10, b10, t01, b01, gamma, beta,
                   corner_mode, fold_ok, fold_site, eps)
 
 
+# ----------------------------- fused_down_block -----------------------------
+#
+# The DownBlock mirror of fused_up_block: a whole residual down block
+# forward (reference BasicIcoS2SDownBlock, models.py:22-40) in ONE two-pass
+# pallas_call. Pass A (programs 0..G-1) runs both stride-2 convs off the
+# shared phase halo (the fused_dual_s2_conv program) + stats accumulation,
+# staging conv00's output y00 to an ANY-space HBM buffer by explicit DMA;
+# pass B (programs G..2G-1) computes bn00's affine in-kernel from the
+# accumulated (2, C) moments, DMAs y00 back, and runs conv01 (stride-1 at
+# level s-1) in SPATIAL form — the same 7-tap masked-3×3 program as
+# conv_kernel._kernel, which is what the unmerged DownBlock's conv01 uses.
+# The backward recomposes the two existing VJP programs (conv_kernel._bwd
+# for conv01, _ds2_bwd for the dual stride-2) around the (C,)-sized affine
+# chain, exactly like _upblk_bwd.
+
+
+def _dn_block_kernel(*refs, h, w, k, G, corner_mode, out_dtype, c0, c0p,
+                     eps, count, has_act):
+    phase_refs = refs[:4]
+    idx = 4
+    if has_act:
+        in_mul_ref, in_add_ref = refs[4], refs[5]
+        idx = 6
+    (t00_ref, b00_ref, t10_ref, b10_ref, t01_ref, b01_ref,
+     gam_ref, bet_ref) = refs[idx : idx + 8]
+    idx += 8
+    y10_ref, b0_ref, y00_any = refs[idx], refs[idx + 1], refs[idx + 2]
+    s00_ref, s10_ref, s01_ref = refs[idx + 3], refs[idx + 4], refs[idx + 5]
+    mul_ref, add_ref = refs[idx + 6], refs[idx + 7]
+    stage = refs[idx + 8]
+    sem = refs[idx + 9]
+    p = pl.program_id(0)
+
+    @pl.when(p < G)
+    def _pass_a():
+        cin = phase_refs[0].shape[-1]
+        phases = tuple(r[...].reshape(k * 5, h, w, cin) for r in phase_refs)
+        if has_act:
+            phases = tuple(
+                _act_apply(ph, in_mul_ref[0], in_add_ref[0]) for ph in phases
+            )
+        padded = _phase_pad_k(phases, k, h, w, corner_mode)
+        res = _contract(
+            padded, [t00_ref, t10_ref], [b00_ref, b10_ref], (2,), h, w, k,
+            out_dtype,
+        )
+        y00, y10 = res[0][0], res[1][0]
+        # lane-tile-aligned cross-pass buffer (see fused_up_block): HBM
+        # memref slices need a 128-multiple lane dim
+        if c0p == c0:
+            stage[...] = y00
+        else:
+            stage[:, :, :, :, 0:c0] = y00
+        cp = pltpu.make_async_copy(stage, y00_any.at[pl.ds(p * k, k)], sem)
+        cp.start()
+        y10_ref[...] = y10
+
+        @pl.when(p == 0)
+        def _():
+            s00_ref[...] = jnp.zeros_like(s00_ref)
+            s10_ref[...] = jnp.zeros_like(s10_ref)
+
+        s00_ref[...] += _stats_partial([y00])
+        s10_ref[...] += _stats_partial([y10])
+        cp.wait()
+
+    @pl.when(p >= G)
+    def _pass_b():
+        # bn00 affine from the pass-A moments (_StatsBN's exact formula)
+        s = s00_ref[0]
+        mean = s / count
+        var = jnp.maximum(0.0, s00_ref[1] / count - mean * mean)
+        mul = jax.lax.rsqrt(var + eps) * gam_ref[0]
+        add = bet_ref[0] - mean * mul
+
+        @pl.when(p == G)
+        def _():
+            mul_ref[...] = mul.reshape(1, -1)
+            add_ref[...] = add.reshape(1, -1)
+
+        cp = pltpu.make_async_copy(y00_any.at[pl.ds((p - G) * k, k)], stage,
+                                   sem)
+        cp.start()
+        cp.wait()
+        yact = _act_apply(stage[:, :, :, :, 0:c0], mul, add)
+        from geniconet_tpu.ops.conv import HEX_TAP_OFFSETS
+
+        P = jnp.concatenate(
+            [_build_padded(yact[i], h, w, corner_mode) for i in range(k)],
+            axis=0,
+        )  # (k*5, h+2, w+2, c0)
+        rows = k * 5 * h * w
+        c2 = t01_ref.shape[-1]
+        acc = jnp.zeros((rows, c2), jnp.float32)
+        for t, (di, dj) in enumerate(HEX_TAP_OFFSETS):
+            sl = P[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w, :]
+            acc += jnp.dot(sl.reshape(rows, c0), t01_ref[t],
+                           preferred_element_type=jnp.float32)
+        acc += b01_ref[0].astype(jnp.float32)
+        b0 = acc.reshape(k, 5, h, w, c2).astype(out_dtype)
+        b0_ref[...] = b0
+
+        @pl.when(p == G)
+        def _():
+            s01_ref[...] = jnp.zeros_like(s01_ref)
+
+        s01_ref[...] += _stats_partial([b0])
+
+
+def _dn_block_fwd_impl(xp, t00, b00, t10, b10, t01, b01, gamma, beta,
+                       in_mul, in_add, corner_mode, eps):
+    B = xp[0].shape[0]
+    h, w = xp[0].shape[2], xp[0].shape[3]
+    cin = xp[0].shape[-1]
+    dtype = xp[0].dtype
+    c0, c1, c2 = t00.shape[-1], t10.shape[-1], t01.shape[-1]
+    c0p = -(-c0 // 128) * 128
+    count = 1.0 * B * 5 * h * w  # stride-2 output: ONE phase per position
+    has_act = in_mul is not None
+    per_sample = 5 * h * w * (
+        20 * cin + 4 * (c0p + c1) + 14 * c0 + 8 * c2) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+    G = B // k
+    kernel = functools.partial(
+        _dn_block_kernel, h=h, w=w, k=k, G=G, corner_mode=corner_mode,
+        out_dtype=dtype, c0=c0, c0p=c0p, eps=eps, count=count,
+        has_act=has_act,
+    )
+    a_idx = lambda p, nd: (jnp.minimum(p, G - 1),) + (0,) * (nd - 1)
+    b_idx = lambda p, nd: (jnp.maximum(p - G, 0),) + (0,) * (nd - 1)
+    in_specs = [
+        pl.BlockSpec((k, 5, h, w, cin), lambda p: a_idx(p, 5),
+                     memory_space=pltpu.VMEM)
+    ] * 4
+    args = list(xp)
+    if has_act:
+        in_specs += [_block((1, cin))] * 2
+        args += [in_mul.reshape(1, cin).astype(jnp.float32),
+                 in_add.reshape(1, cin).astype(jnp.float32)]
+    in_specs += [
+        _full(), _block((1, c0)), _full(), _block((1, c1)),
+        _full(), _block((1, c2)),
+        _block((1, c0)), _block((1, c0)),
+    ]
+    args += [
+        t00, _norm_bias(b00, c0, t00.dtype), t10,
+        _norm_bias(b10, c1, t10.dtype), t01, _norm_bias(b01, c2, t01.dtype),
+        gamma.reshape(1, c0).astype(jnp.float32),
+        beta.reshape(1, c0).astype(jnp.float32),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 5, h, w, c1), dtype),   # y10
+        jax.ShapeDtypeStruct((B, 5, h, w, c2), dtype),   # b0
+        jax.ShapeDtypeStruct((B, 5, h, w, c0p), dtype),  # y00 (ANY)
+        jax.ShapeDtypeStruct((2, c0), jnp.float32),
+        jax.ShapeDtypeStruct((2, c1), jnp.float32),
+        jax.ShapeDtypeStruct((2, c2), jnp.float32),
+        jax.ShapeDtypeStruct((1, c0), jnp.float32),      # mul00
+        jax.ShapeDtypeStruct((1, c0), jnp.float32),      # add00
+    ]
+    out_specs = [
+        pl.BlockSpec((k, 5, h, w, c1), lambda p: a_idx(p, 5),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, 5, h, w, c2), lambda p: b_idx(p, 5),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        _acc_spec((2, c0)), _acc_spec((2, c1)), _acc_spec((2, c2)),
+        _acc_spec((1, c0)), _acc_spec((1, c0)),
+    ]
+    flops = 2 * B * 5 * h * w * 7 * (cin * (c0 + c1) + c0 * c2)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(2 * G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((k, 5, h, w, c0p), dtype),
+                        pltpu.SemaphoreType.DMA],
+        **_params(flops, B * 5 * h * w * (4 * cin + 3 * c0 + c1 + c2)
+                  * dtype.itemsize),
+    )(*args)
+    y10, b0 = outs[0], outs[1]
+    y00 = outs[2] if c0p == c0 else outs[2][..., :c0]
+    s00, s10, s01 = outs[3], outs[4], outs[5]
+    mul00, add00 = outs[6].reshape(-1), outs[7].reshape(-1)
+    return b0, y10, y00, s00, s01, s10, mul00, add00
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+def _dnblk(xp, t00, b00, t10, b10, t01, b01, gamma, beta, in_mul, in_add,
+           corner_mode, fold_ok, s_in, eps):
+    b0, y10, _, s00, s01, s10, _, _ = _dn_block_fwd_impl(
+        xp, t00, b00, t10, b10, t01, b01, gamma, beta, in_mul, in_add,
+        corner_mode, eps)
+    return b0, y10, s00, s01, s10
+
+
+def _dnblk_fwd(xp, t00, b00, t10, b10, t01, b01, gamma, beta, in_mul,
+               in_add, corner_mode, fold_ok, s_in, eps):
+    b0, y10, y00, s00, s01, s10, mul00, add00 = _dn_block_fwd_impl(
+        xp, t00, b00, t10, b10, t01, b01, gamma, beta, in_mul, in_add,
+        corner_mode, eps)
+    res = (xp, t00, b00, t10, b10, t01, b01, gamma, beta, in_mul, in_add,
+           y00, y10, b0, s00, mul00, add00)
+    return (b0, y10, s00, s01, s10), res
+
+
+def _dnblk_bwd(corner_mode, fold_ok, s_in, eps, res, g):
+    (xp, t00, b00, t10, b10, t01, b01, gamma, beta, in_mul, in_add,
+     y00, y10, b0, s00, mul00, add00) = res
+    g_b0, g_y10, g_s00, g_s01, g_s10 = g
+    from geniconet_tpu.ops.pallas import conv_kernel as _ck
+
+    # conv01 backward — the spatial conv's program, bit for bit
+    d_y00, dt01, db01, dmul, dadd = _ck._bwd(
+        s_in - 1, corner_mode, 1, True,
+        (y00, t01, b01, mul00, add00, b0), (g_b0, g_s01),
+    )
+    # bn00 affine chain: (C,)-sized XLA math (the _StatsBN formula)
+    B, h, w = y00.shape[0], y00.shape[2], y00.shape[3]
+    count = 1.0 * B * 5 * h * w
+
+    def _affine(s, gam, bet):
+        mean = s[0] / count
+        var = jnp.maximum(0.0, s[1] / count - mean * mean)
+        mul = jax.lax.rsqrt(var + eps) * gam
+        return mul, bet - mean * mul
+
+    _, aff_vjp = jax.vjp(_affine, s00, gamma, beta)
+    d_s00_aff, d_gamma, d_beta = aff_vjp(
+        (dmul.reshape(-1).astype(jnp.float32),
+         dadd.reshape(-1).astype(jnp.float32))
+    )
+    gs00 = d_s00_aff + g_s00
+    # dual stride-2 backward — today's ds2 program, bit for bit
+    dxp, dt00, db00, dt10, db10, dmul_in, dadd_in = _ds2_bwd(
+        corner_mode, True, fold_ok,
+        (tuple(xp), t00, b00, t10, b10, in_mul, in_add, (y00, y10)),
+        (d_y00, g_y10, gs00, g_s10),
+    )
+    return (dxp, dt00, db00, dt10, db10, dt01, db01,
+            d_gamma.astype(gamma.dtype), d_beta.astype(beta.dtype),
+            dmul_in, dadd_in)
+
+
+_dnblk.defvjp(_dnblk_fwd, _dnblk_bwd)
+
+
+def fused_down_block(xp, t00, b00, t10, b10, t01, b01, gamma, beta,
+                     s_in, in_act=None, corner_mode="average", fold_ok=True,
+                     eps=1e-5):
+    """A whole DownBlock forward (train mode) in ONE two-pass kernel.
+
+    xp: 4 parity phases of the level-s_in input, each (B, 5, h, w, C_in);
+    taps/biases of the block's three convs; gamma/beta = bn00's fp32
+    scale/bias (affine computed in-kernel from pass-A batch moments —
+    single-replica statistics; gate off under a data-parallel axis_name);
+    in_act: optional pending (mul, add) BN-apply+ReLU prologue from the
+    producing layer.
+
+    Returns (b0, y10, s00, s01, s10) with b0/y10 standard level-(s_in - 1)
+    grids — the same contract as fused_dual_s2_conv + bn00 affine +
+    IcoConvS2S(conv01, act), with identical backward programs."""
+    mul, add = in_act if in_act is not None else (None, None)
+    return _dnblk(tuple(xp), t00, b00, t10, b10, t01, b01, gamma, beta,
+                  mul, add, corner_mode, fold_ok, s_in, eps)
+
+
 # ----------------------------- fused_pair_head ------------------------------
 #
 # The decoder's last UpBlock tail + 1x1 head + tanh in ONE kernel, in phase

@@ -48,9 +48,14 @@ CONFIGS = [
     ("merged_up2", {"GENICONET_MERGED_BLOCK": "up2"}),
     ("merged_up12", {"GENICONET_MERGED_BLOCK": "up1,up2"}),
     ("merged_up_all", {"GENICONET_MERGED_BLOCK": "all"}),
-    ("merged_up_all_pad", {"GENICONET_MERGED_BLOCK": "all"}),
+    ("merged_up_all_pad", {"GENICONET_MERGED_BLOCK": "up0,up1,up2"}),
     ("merged_up2_pad", {"GENICONET_MERGED_BLOCK": "up2"}),
     ("merged_up01_pad", {"GENICONET_MERGED_BLOCK": "up0,up1"}),
+    # round-4d: two-pass whole-DownBlock kernels (fused_down_block) —
+    # the encoder mirror (dual s2 + in-kernel bn00 affine + spatial conv01)
+    ("merged_dn01", {"GENICONET_MERGED_BLOCK": "down0,down1"}),
+    ("merged_blocks_all",
+     {"GENICONET_MERGED_BLOCK": "down0,down1,up0,up1,up2"}),
 ]
 
 _BENCH = r"""

@@ -126,6 +126,115 @@ def test_upblock_layer_merged_route(monkeypatch):
         )
 
 
+def _mk_dn_args(s=3, B=4, F=8, cin=6, seed=0):
+    # phase dims of the level-s grid: (2^(s-1), 2^s)
+    h, w = 2 ** (s - 1), 2**s
+    rng = np.random.RandomState(seed)
+    r = lambda *sh: jnp.asarray(rng.randn(*sh).astype(np.float32))
+    return dict(
+        xp=tuple(r(B, 5, h, w, cin) for _ in range(4)),
+        t00=r(7, cin, F) * 0.1, b00=r(F) * 0.1,
+        t10=r(7, cin, F) * 0.1, b10=r(F) * 0.1,
+        t01=r(7, F, F) * 0.1, b01=r(F) * 0.1,
+        gamma=1.0 + 0.1 * r(F), beta=0.1 * r(F),
+    ), (B, h, w, rng)
+
+
+def _dn_unmerged(xp, t00, b00, t10, b10, t01, b01, gamma, beta, count, s,
+                 in_act=None):
+    from geniconet_tpu.ops.pallas.conv_kernel import fused_ico_conv_s2s
+
+    y00, y10, s00, s10 = pk.fused_dual_s2_conv(
+        xp, t00, b00, t10, b10, "average", act=in_act, with_stats=True)
+    mean = s00[0] / count
+    var = jnp.maximum(0.0, s00[1] / count - mean * mean)
+    mul = jax.lax.rsqrt(var + _EPS) * gamma
+    add = beta - mean * mul
+    b0, s01 = fused_ico_conv_s2s(
+        y00, t01, b01, s - 1, "average", 1, act=(mul, add), with_stats=True)
+    return b0, y10, s00, s01, s10
+
+
+@pytest.mark.parametrize("with_in_act", [False, True])
+def test_fused_down_block_matches_composition(with_in_act):
+    s = 3
+    args, (B, h, w, rng) = _mk_dn_args(s=s)
+    cin = args["xp"][0].shape[-1]
+    count = 1.0 * B * 5 * h * w
+    in_act = None
+    if with_in_act:
+        in_act = (jnp.asarray(1.0 + 0.1 * rng.randn(cin), jnp.float32),
+                  jnp.asarray(0.1 * rng.randn(cin), jnp.float32))
+    o_m = pk.fused_down_block(**args, s_in=s, in_act=in_act)
+    o_u = _dn_unmerged(**args, count=count, s=s, in_act=in_act)
+    for a, b in zip(jax.tree.leaves(o_u), jax.tree.leaves(o_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    ct = [jnp.asarray(rng.randn(*np.shape(a)).astype(np.float32))
+          for a in jax.tree.leaves(o_u)]
+
+    def mkloss(f, **kw):
+        def loss(a):
+            out = jax.tree.leaves(f(**a, **kw))
+            return sum(jnp.vdot(o, c) for o, c in zip(out, ct))
+        return loss
+
+    g_m = jax.grad(mkloss(pk.fused_down_block, s_in=s, in_act=in_act))(args)
+    g_u = jax.grad(mkloss(_dn_unmerged, count=count, s=s, in_act=in_act))(args)
+    scale = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_u))
+    for (pth, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_u)[0],
+        jax.tree_util.tree_flatten_with_path(g_m)[0],
+    ):
+        name = "/".join(str(getattr(k, "key", k)) for k in pth)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5 * scale, err_msg=name
+        )
+
+
+def test_downblock_layer_merged_route(monkeypatch):
+    """End-to-end layer parity: outputs, running stats, and param grads of
+    the GENICONET_MERGED_BLOCK route vs the default two-kernel route."""
+    from geniconet_tpu.nn.layers import DownBlock
+
+    s, B, F, cin = 3, 4, 8, 6
+    h, w = 2**s, 2 ** (s + 1)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, 5, h, w, cin).astype(np.float32))
+    blk = DownBlock(F, s, use_pallas=True, dtype=jnp.float32)
+    monkeypatch.setenv("GENICONET_MERGED_BLOCK", "0")
+    vars0 = blk.init(jax.random.PRNGKey(0), x, train=True)
+    out_u, upd_u = blk.apply(vars0, x, train=True, mutable=["batch_stats"])
+    monkeypatch.setenv("GENICONET_MERGED_BLOCK", "all")
+    out_m, upd_m = blk.apply(vars0, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(out_u), np.asarray(out_m), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(upd_u), jax.tree.leaves(upd_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    ct = jnp.asarray(rng.randn(*out_u.shape).astype(np.float32))
+
+    def loss(params, env):
+        monkeypatch.setenv("GENICONET_MERGED_BLOCK", env)
+        out, _ = blk.apply(
+            {"params": params, "batch_stats": vars0["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.vdot(out, ct)
+
+    g_u = jax.grad(lambda p: loss(p, "0"))(vars0["params"])
+    g_m = jax.grad(lambda p: loss(p, "all"))(vars0["params"])
+    scale = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_u))
+    for (pth, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_u)[0],
+        jax.tree_util.tree_flatten_with_path(g_m)[0],
+    ):
+        name = "/".join(str(getattr(k, "key", k)) for k in pth)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5 * scale, err_msg=name
+        )
+
+
 def test_upblock_merged_gated_off_under_axis_name(monkeypatch):
     """The in-kernel affine uses single-replica moments — under a DP
     axis_name the layer must stay on the two-kernel route (whose _StatsBN
