@@ -69,6 +69,19 @@ def _is_packed_phases(x) -> bool:
     return getattr(x, "ndim", 0) == 5 and x.shape[-1] == 12
 
 
+# lanes of the pre-gathered conv_in im2col table: 4 phases x 7 taps x C=3
+# (ops/phase.conv_im2col, packed phase-major: lane 21*p + 3*t + c)
+COL_LANES = 4 * 7 * 3
+
+
+def _is_col_packed(x) -> bool:
+    """Whether ``x`` is the pre-gathered encoder-front im2col table row
+    (B, 5, h, w, 84) — built once per dataset (trainer.prepared_tables under
+    GENICONET_COL_FRONT) because the input halo is data, not activations.
+    conv_in then degenerates to four (rows, 21)x(21, w0) matmuls."""
+    return getattr(x, "ndim", 0) == 5 and x.shape[-1] == COL_LANES
+
+
 class _Encoder(nn.Module):
     subdivisions: int
     widths: tuple[int, ...]  # e.g. (64, 128, 256, 256) AE / (64, 128, 256) VAE
@@ -100,11 +113,53 @@ class _Encoder(nn.Module):
         # input phases into 12 lanes so the tiny-cin tensors don't waste
         # 125/128 lanes of every transfer (ops/pallas/phase_kernel.py)
         packed_in = (not phases_in) and x.ndim == 5 and x.shape[-1] == 12
-        if packed_in:
+        col_in = (not phases_in) and _is_col_packed(x)
+        if packed_in or col_in:
             ph2, pw2 = x.shape[2], x.shape[3]
         else:
             ph2, pw2 = (x[0].shape[2], x[0].shape[3]) if phases_in else (
                 x.shape[2] // 2, x.shape[3] // 2)
+        if col_in and len(self.widths) > 1:
+            # pre-gathered im2col route (GENICONET_COL_FRONT): the halo
+            # gather of the DATA input was done once at table-preparation
+            # time (ops/phase.conv_im2col), so conv_in is four plain
+            # (rows, 21)x(21, w0) matmuls — no phase_pad, no in-kernel
+            # lane shuffles, and the weight gradient is xcol^T·g by
+            # autodiff. bn_in-apply + relu stay fused into down0's first
+            # kernel as the (mul, add) prologue, like the fused route.
+            from geniconet_tpu.nn.layers import _xla_stats
+
+            conv_in = IcoConvS2S(w0, s, stride=1, name="conv_in", **kw)
+            t_in, b_in = conv_in(x[..., :3], get_params=True)
+            wcat = t_in.reshape(7 * 3, w0)  # concat_t(taps[t]), tap-major
+            xc = x.astype(self.dtype)
+            x = tuple(
+                xc[..., 21 * p : 21 * (p + 1)] @ wcat
+                + (0 if b_in is None else b_in)
+                for p in range(4)
+            )
+            st = None
+            if train:
+                st = _xla_stats(x[0])
+                for p in range(1, 4):
+                    st = st + _xla_stats(x[p])
+            cnt = 4.0 * math.prod(x[0].shape[:-1])
+            in_act = IcoBatchNorm(
+                use_running_average=not train, name="bn_in", **bn
+            )({"stats": st, "count": cnt, "features": w0})
+            for k, width in enumerate(self.widths[1:]):
+                x = DownBlock(
+                    width, s - k, axis_name=self.axis_name, name=f"down{k}",
+                    corner_mode=self.corner_mode, dtype=self.dtype,
+                    use_pallas=self.use_pallas,
+                    pallas_blocks=self.pallas_blocks,
+                )(x, train=train, in_act=in_act if k == 0 else None)
+            return x
+        if col_in:
+            # single-stage encoder: recover the raw phases from the center
+            # taps (t=3 -> lanes 21p+9..21p+12) and take the standard path
+            x = tuple(x[..., 21 * p + 9 : 21 * p + 12] for p in range(4))
+            phases_in = True
         # bn_in-apply + relu become down0's first-kernel prologue on the
         # fused path (the activated s-level tensor never reaches HBM)
         from geniconet_tpu.nn.layers import pallas_block_enabled
@@ -288,7 +343,8 @@ class IcoAE(nn.Module):
         ``x`` may also be a 4-tuple of pre-split parity phases
         (B, 5, 2^(s-1), 2^s, 3) or ONE lane-packed (B, 5, 2^(s-1), 2^s, 12)
         phase array — the device-resident fast paths."""
-        xc = x if isinstance(x, (tuple, list)) or _is_packed_phases(x)             else split_charts(x, self.subdivisions)
+        xc = x if (isinstance(x, (tuple, list)) or _is_packed_phases(x)
+                   or _is_col_packed(x)) else split_charts(x, self.subdivisions)
         z = self.encoder(xc, train=train)
         return merge_charts(z)
 
@@ -305,7 +361,8 @@ class IcoAE(nn.Module):
         sum((grid_to_vertices(self(x)) - target_pos)**2) per sample.
         ``x`` may be a grid, a 4-tuple of pre-split phases, or a lane-packed
         phase array (see encode)."""
-        xc = x if isinstance(x, (tuple, list)) or _is_packed_phases(x)             else split_charts(x, self.subdivisions)
+        xc = x if (isinstance(x, (tuple, list)) or _is_packed_phases(x)
+                   or _is_col_packed(x)) else split_charts(x, self.subdivisions)
         z = self.encoder(xc, train=train)
         return self.decoder(z, train=train, target=(tpack, tpoles))
 

@@ -75,6 +75,7 @@ __all__ = [
     "phase_merge",
     "phase_pad",
     "phase_conv",
+    "conv_im2col",
     "phase_upsample",
     "tap_table",
 ]
@@ -231,6 +232,37 @@ def phase_conv(
             acc = acc + bias.astype(acc.dtype)
         outs.append(acc)
     return tuple(outs)
+
+
+def conv_im2col(phases, corner_mode: str = "average") -> jnp.ndarray:
+    """Pre-gathered im2col operand of the stride-1 hex conv in phase form:
+    4 phase tensors (B, 5, h, w, C) -> ONE (4, B, 5, h, w, 7·C) table whose
+    out-phase-p lanes [t·C, (t+1)·C) hold tap t's input slice (the
+    `tap_table` window into `phase_pad`).
+
+    Built ONCE per dataset at table-preparation time for the encoder front
+    (the input is data, so its halo never changes during training): the
+    conv then degenerates to a single (rows, 7C) x (7C, C_out) matmul —
+    fused_col_conv — and its weight gradient to one xcolᵀ·g matmul. The
+    round-4 trace showed the general phase kernels spending ~1.2 ms/step
+    rebuilding exactly this operand from 3-lane tensors in-kernel (VPU
+    lane-shuffles at 3/128 utilization), twice (forward + dtaps).
+
+    The conv itself is ``xcol[p] · concat_t(taps[t]) + bias`` — verified
+    against `phase_conv`/`ico_conv_s2s` in tests/test_colconv.py. Phase p's
+    center-tap lanes (t=3) are phase p itself, so the phase tensors are
+    recoverable (the XLA-fallback route when the fused kernel is off).
+    """
+    padded = phase_pad(phases, corner_mode)
+    h, w = phases[0].shape[2], phases[0].shape[3]
+    cols = []
+    for p in range(4):
+        sls = [
+            padded[p_in][:, :, rs : rs + h, cs : cs + w, :]
+            for (p_in, rs, cs) in tap_table(p)
+        ]
+        cols.append(jnp.concatenate(sls, axis=-1))
+    return jnp.stack(cols, axis=0)
 
 
 def phase_upsample(x_padded: jnp.ndarray):

@@ -562,6 +562,16 @@ class Trainer:
         return state, metrics, misc, gflow
 
     def _gather_batch(self, tables, idx, split_packed=False):
+        if "xcol" in tables:
+            # pre-gathered conv_in im2col rows (B, 5, h, w, 84): the input
+            # halo is data, so it was gathered ONCE at table-preparation
+            # time (ops/phase.conv_im2col) — conv_in is plain matmuls in
+            # the model, no Mosaic packed-input kernel, so this form needs
+            # no split_packed scan workaround. Same HBM gather bytes as
+            # xpack (both minor dims pad to the 128-lane tile).
+            x = tables["xcol"][idx]
+            y = (tables["tpack"][idx], tables["tpoles"][idx])
+            return x, y
         if "xpack" in tables:
             # lane-packed phases (B, 5, h, w, 12) + pre-packed targets
             # (fused-MSE fast path): the per-step phase slice of the raw
@@ -605,8 +615,9 @@ class Trainer:
             and batches.sharding is None
             and di.nbytes + dt.nbytes <= 1024**3
         )
+        col_front = os.environ.get("GENICONET_COL_FRONT", "0") == "1"
         cache = getattr(batches, "_gn_prepared_tables", None)
-        if cache is not None and cache[0] == (prep_mode, self.s):
+        if cache is not None and cache[0] == (prep_mode, self.s, col_front):
             tables = cache[1]
             relaid = getattr(self, "_gather_auto_tables", None)
             if relaid is not None and tables is getattr(
@@ -620,16 +631,30 @@ class Trainer:
             return tables
         if prep_mode:
             from geniconet_tpu.ops.conv import split_charts
-            from geniconet_tpu.ops.phase import phase_split
+            from geniconet_tpu.ops.phase import conv_im2col, phase_split
             from geniconet_tpu.ops.vertices import pack_target_phases
 
             s = self.s
+            corner = self.cfg.model.corner_mode
+            mdtype = self.model.dtype
 
             @jax.jit
             def prep(di, dt):
                 xph = phase_split(split_charts(di, s))
-                xpack = jnp.concatenate(xph, axis=-1)  # (N, 5, h, w, 12)
                 tpack, tpoles = pack_target_phases(dt, s)
+                if col_front:
+                    # conv_in's im2col operand, gathered once: the halo of
+                    # the DATA input never changes during training, so the
+                    # hot step skips phase_pad + tap shuffles entirely
+                    # (models._Encoder col route). Stored in the compute
+                    # dtype: the step would cast right after the gather
+                    # anyway, and bf16 halves the per-step gather bytes.
+                    xc = conv_im2col(xph, corner)  # (4, N, 5, h, w, 21)
+                    xcol = jnp.concatenate(
+                        [xc[p] for p in range(4)], axis=-1
+                    ).astype(mdtype)
+                    return {"xcol": xcol, "tpack": tpack, "tpoles": tpoles}
+                xpack = jnp.concatenate(xph, axis=-1)  # (N, 5, h, w, 12)
                 return {"xpack": xpack, "tpack": tpack, "tpoles": tpoles}
 
             tables = prep(di, dt)
@@ -642,7 +667,7 @@ class Trainer:
             del di, dt
         else:
             tables = {"x": di, "y": dt}
-        batches._gn_prepared_tables = ((prep_mode, self.s), tables)
+        batches._gn_prepared_tables = ((prep_mode, self.s, col_front), tables)
         return tables
 
     def gather_train_step(self, state, tables, idx, wt, epoch,

@@ -56,6 +56,13 @@ CONFIGS = [
     ("merged_dn01", {"GENICONET_MERGED_BLOCK": "down0,down1"}),
     ("merged_blocks_all",
      {"GENICONET_MERGED_BLOCK": "down0,down1,up0,up1,up2"}),
+    # round-4e: pre-gathered conv_in im2col table (ops/phase.conv_im2col) —
+    # the DATA input's halo gather runs once at table-prep time; the hot
+    # step's conv_in is four (rows,21)x(21,64) XLA matmuls. Same gathered
+    # HBM bytes as xpack (both minor dims pad to the 128-lane tile), bf16
+    # table halves them.
+    ("col_front", {"GENICONET_COL_FRONT": "1"}),
+    ("col_front_ctrl", {}),
 ]
 
 _BENCH = r"""

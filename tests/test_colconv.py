@@ -1,0 +1,164 @@
+"""conv_im2col / GENICONET_COL_FRONT: the pre-gathered encoder-front
+im2col table (ops/phase.conv_im2col) and its matmul conv route
+(models._Encoder col branch, trainer.prepared_tables "xcol").
+
+The contract: for DATA inputs the halo gather never changes during
+training, so it runs once at table-preparation time and the hot-step
+conv_in is four (rows, 21)x(21, w0) matmuls — numerically the same conv
+as phase_conv / ico_conv_s2s (fp32 tolerance: the 7-tap sum becomes one
+K=21 contraction)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geniconet_tpu.data.datasets import synthetic_dataset
+from geniconet_tpu.data.pipeline import Batches
+from geniconet_tpu.nn.models import COL_LANES, IcoAE
+from geniconet_tpu.ops.conv import split_charts
+from geniconet_tpu.ops.phase import (
+    conv_im2col,
+    phase_conv,
+    phase_split,
+)
+from geniconet_tpu.train.config import Config
+from geniconet_tpu.train.trainer import Trainer
+
+
+def _rand_phases(key, s=3, B=2, C=3):
+    h, w = 2 ** (s - 1), 2**s
+    keys = jax.random.split(key, 4)
+    return tuple(
+        jax.random.normal(k, (B, 5, h, w, C), jnp.float32) for k in keys
+    )
+
+
+@pytest.mark.parametrize("corner_mode", ["average", "zeros"])
+def test_im2col_matmul_equals_phase_conv(corner_mode):
+    phases = _rand_phases(jax.random.key(0))
+    taps = jax.random.normal(jax.random.key(1), (7, 3, 16), jnp.float32)
+    bias = jax.random.normal(jax.random.key(2), (16,), jnp.float32)
+    ref = phase_conv(phases, taps, bias, corner_mode)
+    xcol = conv_im2col(phases, corner_mode)  # (4, B, 5, h, w, 21)
+    assert xcol.shape == (4, *phases[0].shape[:-1], 21)
+    wcat = taps.reshape(21, 16)
+    for p in range(4):
+        got = xcol[p] @ wcat + bias
+        np.testing.assert_allclose(got, ref[p], rtol=2e-5, atol=2e-5)
+
+
+def test_center_tap_recovers_phases():
+    """Lane block t=3 (HEX_TAP_OFFSETS center) of out-phase p IS phase p —
+    the XLA-fallback recovery the single-stage encoder branch relies on."""
+    phases = _rand_phases(jax.random.key(3))
+    xcol = conv_im2col(phases, "average")
+    packed = jnp.concatenate([xcol[p] for p in range(4)], axis=-1)
+    assert packed.shape[-1] == COL_LANES
+    for p in range(4):
+        np.testing.assert_array_equal(
+            packed[..., 21 * p + 9 : 21 * p + 12], phases[p]
+        )
+
+
+def _grid(key, s=3, B=4):
+    H, W = 5 * 2**s, 2 ** (s + 1)
+    return jax.random.normal(key, (B, H, W, 3), jnp.float32)
+
+
+def _col_input(grid, s, corner_mode="average"):
+    xph = phase_split(split_charts(grid, s))
+    xc = conv_im2col(xph, corner_mode)
+    return jnp.concatenate([xc[p] for p in range(4)], axis=-1)
+
+
+def test_model_col_route_matches_grid_route():
+    """Whole-model parity: IcoAE.recon_sse on the col-packed input ==
+    on the grid input — loss, param grads, and running stats (fp32/XLA)."""
+    s = 3
+    model = IcoAE(subdivisions=s, widths=(8, 12, 16))
+    grid = _grid(jax.random.key(0), s)
+    xcol = _col_input(grid, s)
+    variables = model.init(jax.random.key(1), grid[:1])
+    from geniconet_tpu.ops.vertices import pack_target_phases
+
+    from geniconet_tpu.geometry.ico import num_vertices
+
+    tgt = jax.random.normal(
+        jax.random.key(2), (grid.shape[0], num_vertices(s), 3), jnp.float32)
+    tpack, tpoles = pack_target_phases(tgt, s)
+
+    def loss_fn(params, bstats, x):
+        sse, upd = model.apply(
+            {"params": params, "batch_stats": bstats},
+            x, tpack, tpoles, train=True, mutable=["batch_stats"],
+            method=model.recon_sse,
+        )
+        return jnp.sum(sse), upd["batch_stats"]
+
+    (l_ref, bs_ref), g_ref = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"], variables["batch_stats"], grid)
+    (l_col, bs_col), g_col = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"], variables["batch_stats"], xcol)
+    np.testing.assert_allclose(l_col, l_ref, rtol=1e-5)
+    # atol covers the conv biases feeding straight into BatchNorm: their
+    # true gradient is exactly zero (BN recenters), so both routes emit
+    # fp-noise there (~1e-4 at this scale)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-3),
+        g_col, g_ref)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        bs_col, bs_ref)
+    # eval mode (running-average BN) too
+    e_ref = model.apply(variables, grid, tpack, tpoles, train=False,
+                        method=model.recon_sse)
+    e_col = model.apply(variables, xcol, tpack, tpoles, train=False,
+                        method=model.recon_sse)
+    np.testing.assert_allclose(e_col, e_ref, rtol=1e-5)
+
+
+@pytest.fixture
+def _pallas_interpret(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("GENICONET_PALLAS_INTERPRET", "1")
+    yield
+
+
+@pytest.mark.slow
+def test_trainer_col_front_step_matches_xpack(monkeypatch, _pallas_interpret):
+    """GENICONET_COL_FRONT=1: prepared_tables builds the xcol table and a
+    full gather_train_step matches the xpack route's loss trajectory (the
+    fused-MSE config, interpret-mode kernels)."""
+    cfg = Config()
+    cfg.model.name = "ico2ico"
+    cfg.model.subdivisions = 3
+    cfg.model.widths = (8, 12, 16)
+    cfg.model.use_pallas = True
+    cfg.train.batch_size = 8
+    cfg.train.log_grad_freq = 0
+    ds = synthetic_dataset(3, 16, seed=0)
+
+    def run(col):
+        monkeypatch.setenv("GENICONET_COL_FRONT", "1" if col else "0")
+        tr = Trainer(cfg)
+        assert tr._fused_mse
+        st = tr.init_state(ds.inputs[:1])
+        b = Batches(ds, 8, shuffle=False)
+        tables = tr.prepared_tables(b)
+        assert ("xcol" in tables) == col
+        assert ("xpack" in tables) == (not col)
+        if col:
+            assert tables["xcol"].shape[-1] == COL_LANES
+        losses = []
+        for idx, wt in b.epoch_indices():
+            tables, (st, m, _, _) = tr.gather_train_step(
+                st, tables, idx, wt, 0)
+            losses.append(float(m["total"]))
+        return losses
+
+    ref = run(False)
+    got = run(True)
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
