@@ -419,8 +419,11 @@ class IcoVAE(nn.Module):
         split-step trainer can draw its program boundary here (the heads'
         backward rides the decoder program; artifacts/split_bisect.json:
         the full-encoder backward program crosses the backend's crash
-        threshold, the trunk alone does not)."""
-        xc = split_charts(x, self.subdivisions)
+        threshold, the trunk alone does not). ``x`` may be a grid, a
+        4-tuple of pre-split phases, a lane-packed phase array, or the
+        pre-gathered conv_in im2col table (see IcoAE.encode)."""
+        xc = x if (isinstance(x, (tuple, list)) or _is_packed_phases(x)
+                   or _is_col_packed(x)) else split_charts(x, self.subdivisions)
         return self.encoder(xc, train=train)
 
     def encode_heads(self, feat, train: bool = False):

@@ -568,9 +568,12 @@ class Trainer:
             # time (ops/phase.conv_im2col) — conv_in is plain matmuls in
             # the model, no Mosaic packed-input kernel, so this form needs
             # no split_packed scan workaround. Same HBM gather bytes as
-            # xpack (both minor dims pad to the 128-lane tile).
+            # xpack (both minor dims pad to the 128-lane tile). AE tables
+            # carry the packed target pair; VAE tables the raw vertex
+            # targets (p2pkld_loss consumes them directly).
             x = tables["xcol"][idx]
-            y = (tables["tpack"][idx], tables["tpoles"][idx])
+            y = ((tables["tpack"][idx], tables["tpoles"][idx])
+                 if "tpack" in tables else tables["y"][idx])
             return x, y
         if "xpack" in tables:
             # lane-packed phases (B, 5, h, w, 12) + pre-packed targets
@@ -610,14 +613,18 @@ class Trainer:
         # a freed Batches with a new one at the same address), keyed by mode
         # (trainers with different loss configs may share a Batches)
         di, dt = batches.device_tables()
-        prep_mode = (
-            self._fused_mse
-            and batches.sharding is None
-            and di.nbytes + dt.nbytes <= 1024**3
-        )
         col_front = os.environ.get("GENICONET_COL_FRONT", "0") == "1"
+        fits = (batches.sharding is None
+                and di.nbytes + dt.nbytes <= 1024**3)
+        prep_mode = self._fused_mse and fits
+        # VAE col-front: only the input side is prepped (the P2P/KLD loss
+        # consumes raw vertex targets); shrinks the trunk programs too
+        # (conv_in leaves Pallas), which matters under the bs36 backend
+        # program-size crash threshold (ROADMAP 'Known issue')
+        vae_col = col_front and self.is_vae and fits
         cache = getattr(batches, "_gn_prepared_tables", None)
-        if cache is not None and cache[0] == (prep_mode, self.s, col_front):
+        if cache is not None and cache[0] == (prep_mode, vae_col, self.s,
+                                              col_front):
             tables = cache[1]
             relaid = getattr(self, "_gather_auto_tables", None)
             if relaid is not None and tables is getattr(
@@ -665,9 +672,27 @@ class Trainer:
             # them lazily if some other consumer does stream.
             batches._dev = None
             del di, dt
+        elif vae_col:
+            from geniconet_tpu.ops.conv import split_charts
+            from geniconet_tpu.ops.phase import conv_im2col, phase_split
+
+            s = self.s
+            corner = self.cfg.model.corner_mode
+            mdtype = self.model.dtype
+
+            @jax.jit
+            def prep_vae(di):
+                xc = conv_im2col(phase_split(split_charts(di, s)), corner)
+                return jnp.concatenate(
+                    [xc[p] for p in range(4)], axis=-1).astype(mdtype)
+
+            tables = {"xcol": prep_vae(di), "y": dt}
+            batches._dev = None  # di replaced; dt rides on as tables["y"]
+            del di
         else:
             tables = {"x": di, "y": dt}
-        batches._gn_prepared_tables = ((prep_mode, self.s, col_front), tables)
+        batches._gn_prepared_tables = (
+            (prep_mode, vae_col, self.s, col_front), tables)
         return tables
 
     def gather_train_step(self, state, tables, idx, wt, epoch,

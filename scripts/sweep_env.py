@@ -63,6 +63,15 @@ CONFIGS = [
     # table halves them.
     ("col_front", {"GENICONET_COL_FRONT": "1"}),
     ("col_front_ctrl", {}),
+    # col_front shrinks the one-program step (conv_in leaves Pallas):
+    # re-probe the fold families that crashed or regressed at the larger
+    # program size (fold_sweep.json: pcs1 family-wide crash, std -47)
+    ("col_geff_pcs1", {"GENICONET_COL_FRONT": "1",
+                       "GENICONET_KERNEL_GEFF": "upd,pcs1"}),
+    ("col_geff_all", {"GENICONET_COL_FRONT": "1",
+                      "GENICONET_KERNEL_GEFF": "all"}),
+    ("col_geff_ds2", {"GENICONET_COL_FRONT": "1",
+                      "GENICONET_KERNEL_GEFF": "upd,ds2"}),
 ]
 
 _BENCH = r"""

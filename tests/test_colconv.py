@@ -162,3 +162,73 @@ def test_trainer_col_front_step_matches_xpack(monkeypatch, _pallas_interpret):
     ref = run(False)
     got = run(True)
     np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_vae_split_step_col_front_matches(monkeypatch, _pallas_interpret):
+    """The VAE bs36 shipping route (three-program split step) under
+    GENICONET_COL_FRONT: program 1/3's trunk reads the xcol table and the
+    step matches the raw-table split step (loss + post-Adam params)."""
+    monkeypatch.setenv("GENICONET_VAE_SPLIT", "1")
+    cfg = Config()
+    cfg.model.name = "ico2ico_vae"
+    cfg.model.subdivisions = 3
+    cfg.model.widths = (8, 12, 16)
+    cfg.model.latent_features = 24
+    cfg.model.use_pallas = True
+    cfg.train.batch_size = 24
+    cfg.train.log_grad_freq = 0
+    ds = synthetic_dataset(3, 24, seed=0)
+
+    def run(col):
+        monkeypatch.setenv("GENICONET_COL_FRONT", "1" if col else "0")
+        tr = Trainer(cfg)
+        assert tr._split_step
+        st = tr.init_state(ds.inputs[:1], seed=3)
+        b = Batches(ds, 24, shuffle=False)
+        tables = tr.prepared_tables(b)
+        assert ("xcol" in tables) == col
+        idx, wt = next(iter(b.epoch_indices()))
+        tables, (st, m, _, _) = tr.gather_train_step(st, tables, idx, wt, 0)
+        return float(m["total"]), st
+
+    l_ref, st_ref = run(False)
+    l_col, st_col = run(True)
+    np.testing.assert_allclose(l_col, l_ref, rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(st_ref.params),
+                     jax.tree.leaves(st_col.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_col_front_vae_matches_raw(monkeypatch):
+    """VAE: GENICONET_COL_FRONT preps only the input side ({"xcol", "y"});
+    the P2P/KLD loss trajectory matches the raw-table route (XLA path —
+    exercises encode_trunk's col input handling)."""
+    cfg = Config()
+    cfg.model.name = "ico2ico_vae"
+    cfg.model.subdivisions = 3
+    cfg.model.widths = (8, 12, 16)
+    cfg.model.latent_features = 24
+    cfg.train.batch_size = 8
+    cfg.train.log_grad_freq = 0
+    ds = synthetic_dataset(3, 16, seed=0)
+
+    def run(col):
+        monkeypatch.setenv("GENICONET_COL_FRONT", "1" if col else "0")
+        tr = Trainer(cfg)
+        st = tr.init_state(ds.inputs[:1])
+        b = Batches(ds, 8, shuffle=False)
+        tables = tr.prepared_tables(b)
+        assert ("xcol" in tables) == col
+        assert "y" in tables
+        losses = []
+        for idx, wt in b.epoch_indices():
+            tables, (st, m, _, _) = tr.gather_train_step(
+                st, tables, idx, wt, 0)
+            losses.append(float(m["total"]))
+        return losses
+
+    ref = run(False)
+    got = run(True)
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
