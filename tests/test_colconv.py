@@ -165,6 +165,41 @@ def test_trainer_col_front_step_matches_xpack(monkeypatch, _pallas_interpret):
 
 
 @pytest.mark.slow
+def test_scan_epoch_col_front_matches_per_step(monkeypatch, _pallas_interpret):
+    """The single-dispatch lax.scan epoch composes with the col table: no
+    Mosaic packed-input kernel is involved (conv_in is XLA matmuls), so the
+    xpack scan workaround's lane slices are skipped entirely. scan == the
+    per-step loop."""
+    monkeypatch.setenv("GENICONET_COL_FRONT", "1")
+    cfg = Config()
+    cfg.model.name = "ico2ico"
+    cfg.model.subdivisions = 3
+    cfg.model.widths = (8, 12, 16)
+    cfg.model.use_pallas = True
+    cfg.train.batch_size = 8
+    cfg.train.log_freq = 10_000
+    cfg.train.log_grad_freq = 0
+    ds = synthetic_dataset(3, 24, seed=0)
+
+    def run(scan):
+        monkeypatch.setenv("GENICONET_EPOCH_SCAN", "1" if scan else "0")
+        tr = Trainer(cfg)
+        st = tr.init_state(ds.inputs[:1], seed=3)
+        b = Batches(ds, 8, shuffle=True, seed=11)
+        tr._host_step = 1
+        assert tr._can_scan_epoch(b, len(b)) == scan
+        for ep in range(2):
+            st, info = tr.train_epoch(st, b, ep)
+        return jax.device_get(st.params)
+
+    p_step = run(False)
+    p_scan = run(True)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(a, b_, rtol=2e-4, atol=1e-6),
+        p_scan, p_step)
+
+
+@pytest.mark.slow
 def test_vae_split_step_col_front_matches(monkeypatch, _pallas_interpret):
     """The VAE bs36 shipping route (three-program split step) under
     GENICONET_COL_FRONT: program 1/3's trunk reads the xcol table and the
