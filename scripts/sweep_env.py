@@ -65,13 +65,15 @@ CONFIGS = [
     ("col_front_ctrl", {}),
     # col_front shrinks the one-program step (conv_in leaves Pallas):
     # re-probe the fold families that crashed or regressed at the larger
-    # program size (fold_sweep.json: pcs1 family-wide crash, std -47)
-    ("col_geff_pcs1", {"GENICONET_COL_FRONT": "1",
-                       "GENICONET_KERNEL_GEFF": "upd,pcs1"}),
+    # program size (fold_sweep.json: pcs1_up0/up1 crash, ds2 noise,
+    # std -47; per-site pcs1 families are 'pcs1_<block>')
     ("col_geff_all", {"GENICONET_COL_FRONT": "1",
                       "GENICONET_KERNEL_GEFF": "all"}),
-    ("col_geff_ds2", {"GENICONET_COL_FRONT": "1",
-                      "GENICONET_KERNEL_GEFF": "upd,ds2"}),
+    ("col_geff_ups", {"GENICONET_COL_FRONT": "1",
+                      "GENICONET_KERNEL_GEFF":
+                          "upd,pcs1_up0,pcs1_up1,pcs1_up2"}),
+    ("col_geff_up2_ds2", {"GENICONET_COL_FRONT": "1",
+                          "GENICONET_KERNEL_GEFF": "upd,pcs1_up2,ds2"}),
 ]
 
 _BENCH = r"""
