@@ -62,10 +62,53 @@ def build():
     return trainer, state, batches
 
 
+def wait_for_backend(max_wait_s=None):
+    """Block until the accelerator backend can actually be claimed.
+
+    On the tunneled backend, PJRT client creation hangs indefinitely while
+    the device pool is unavailable (observed: multi-hour outages). Probing
+    in a subprocess bounds each attempt so a wedged claim can be killed and
+    retried; the probe process exits immediately after, releasing its claim
+    before the real benchmark initializes. After the deadline we proceed
+    anyway (the behavior without this guard) so a mis-detecting probe can
+    never turn a working benchmark into a no-op.
+    """
+    import os
+    import subprocess
+
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("GENICONET_BENCH_WAIT_S", "1800"))
+    probe = "import jax; jax.devices(); print('BACKEND_OK')"
+    t0 = time.time()
+    while True:
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=300,
+            )
+            if "BACKEND_OK" in p.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.time() - t0
+        if waited >= max_wait_s:
+            print(
+                f"bench: backend still unhealthy after {waited:.0f}s; "
+                f"proceeding anyway", file=sys.stderr,
+            )
+            return False
+        print(
+            f"bench: backend not ready ({waited:.0f}s elapsed); retrying in "
+            f"30s", file=sys.stderr,
+        )
+        time.sleep(30)
+
+
 def main():
     from geniconet_tpu import enable_compilation_cache
 
     enable_compilation_cache()
+    wait_for_backend()
     print(f"devices: {jax.devices()}", file=sys.stderr)
     trainer, state, batches = build()
     tables = trainer.prepared_tables(batches)
