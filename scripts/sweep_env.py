@@ -74,6 +74,18 @@ CONFIGS = [
                           "upd,pcs1_up0,pcs1_up1,pcs1_up2"}),
     ("col_geff_up2_ds2", {"GENICONET_COL_FRONT": "1",
                           "GENICONET_KERNEL_GEFF": "upd,pcs1_up2,ds2"}),
+    # round-4f: head-kernel samples-per-program. _head_k's VMEM formula
+    # chooses k=1 at bs36 (36 programs/step for the MSE head fwd AND bwd,
+    # decoder.2/.3 = 0.92 ms/step in the round-4 trace) but its own
+    # docstring records a MEASURED 18.75 MB/sample — ~8x below the
+    # formula's estimate — so k=2..4 should fit scoped VMEM and halve or
+    # quarter the per-program overhead. GENICONET_PHMSE_K was added for
+    # crash bisection and overrides both directions.
+    ("phmse_k2", {"GENICONET_PHMSE_K": "2"}),
+    ("phmse_k3", {"GENICONET_PHMSE_K": "3"}),
+    ("phmse_k4", {"GENICONET_PHMSE_K": "4"}),
+    ("col_phmse_k2", {"GENICONET_COL_FRONT": "1",
+                      "GENICONET_PHMSE_K": "2"}),
 ]
 
 _BENCH = r"""
