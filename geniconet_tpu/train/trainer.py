@@ -160,6 +160,18 @@ class Trainer:
         )
         self.model = build_model(cfg, split_vae=want_split)
         self._split_step = want_split and self.model.use_pallas
+        # split v3 (GENICONET_VAE_SPLIT_GRID=1): the decoder half runs as
+        # TWO programs — forward + grid-stencil loss w.r.t. the outputs,
+        # then a separate backward via a surrogate dot-loss — so the
+        # grid-stencil loss forms (which crash the backend when combined
+        # with the decoder BACKWARD in one program, artifacts/
+        # vae36_sweep.json split_v2) never share a program with the
+        # decoder backward. The table-route loss they replace is ~41% of
+        # the v2 step's device time (round-4 VAE trace: 13.0 ms/step of
+        # gather fusions).
+        self._split_grid = self._split_step and (
+            os.environ.get("GENICONET_VAE_SPLIT_GRID", "0") == "1"
+        )
         self.mesh = mesh
         # GSPMD cannot partition the Pallas custom calls (side-effecting
         # custom-call sharding RET_CHECK), so fused-kernel data parallelism
@@ -265,6 +277,10 @@ class Trainer:
                 partial(self._split_enc_bwd, with_gflow=True),
                 donate_argnums=(0,),
             )
+            if self._split_grid:
+                self._jit_split_dec_fwd_loss = jax.jit(
+                    self._split_dec_fwd_loss)
+                self._jit_split_dec_bwd = jax.jit(self._split_dec_bwd)
         self._jit_eval_step = jax.jit(self._eval_step)
         self._jit_logmesh = jax.jit(self._logmesh_fwd)
         self._jit_encode = jax.jit(self._encode_fwd)
@@ -501,6 +517,80 @@ class Trainer:
         metrics["total"] = loss
         return loss, metrics, misc, bstats_dec, g_dec, gfeat
 
+    def _split_dec_fwd_loss(self, params, batch_stats, rng_key, step, feat,
+                            tables, idx, wt, epoch):
+        """Split v3 program 2a: heads + reparameterize + decoder FORWARD,
+        then the P2P/KLD loss on the GRID-STENCIL route, differentiated
+        only w.r.t. the decoder OUTPUTS (recon, mu, logvar). No conv
+        backward lives in this program, which is what keeps the grid-
+        stencil forms under the backend's program-size crash threshold
+        (the v2 probe crashed with loss + decoder fwd+bwd in one program).
+        Returns the output cotangents for `_split_dec_bwd`."""
+        _, y = self._gather_batch(tables, idx)
+        rng = jax.random.fold_in(rng_key, step)
+        kf = kl_factor_at_epoch(
+            epoch,
+            step_size=self.cfg.train.factor_step_size,
+            gamma=self.cfg.train.factor_gamma,
+        )
+        (mu, logvar), upd_h = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, feat,
+            method="encode_heads", train=True, mutable=["batch_stats"],
+        )
+        z = reparameterize(rng, mu, logvar)
+        recon, upd_d = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, z,
+            method="decode", train=True, mutable=["batch_stats"],
+        )
+
+        def loss_of(recon, mu, logvar):
+            loss, metrics = p2pkld_loss(
+                recon, mu, logvar, y, self.s, self.factors, kf, wt,
+                allow_grid=True,
+            )
+            return loss, metrics
+
+        (loss, metrics), (g_recon, g_mu, g_logvar) = jax.value_and_grad(
+            loss_of, argnums=(0, 1, 2), has_aux=True)(recon, mu, logvar)
+        metrics["total"] = loss
+        bstats_dec = {**upd_h["batch_stats"], **upd_d["batch_stats"]}
+        return (loss, metrics, (mu, logvar), bstats_dec,
+                g_recon, g_mu, g_logvar)
+
+    def _split_dec_bwd(self, params, batch_stats, rng_key, step, feat,
+                       g_recon, g_mu, g_logvar):
+        """Split v3 program 2b: decoder-half backward via a surrogate
+        dot-loss. For fixed cotangents g, grad of <f(params, feat), g> is
+        exactly the VJP of f with cotangent g, so pulling program 2a's
+        output cotangents through a rematerialized heads/reparam/decoder
+        forward reproduces v2's (g_dec, gfeat) — the KLD's direct mu/logvar
+        partials ride the same surrogate, and the P2P loss's dependence on
+        mu/logvar through z backpropagates through `reparameterize` here.
+        Same rematerialization class as program 3's trunk re-forward."""
+        rng = jax.random.fold_in(rng_key, step)
+
+        def surrogate(params, feat):
+            (mu, logvar), _ = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, feat,
+                method="encode_heads", train=True, mutable=["batch_stats"],
+            )
+            z = reparameterize(rng, mu, logvar)
+            recon, _ = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, z,
+                method="decode", train=True, mutable=["batch_stats"],
+            )
+            return (
+                jnp.vdot(recon.astype(jnp.float32),
+                         g_recon.astype(jnp.float32))
+                + jnp.vdot(mu.astype(jnp.float32),
+                           g_mu.astype(jnp.float32))
+                + jnp.vdot(logvar.astype(jnp.float32),
+                           g_logvar.astype(jnp.float32))
+            )
+
+        g_dec, gfeat = jax.grad(surrogate, argnums=(0, 1))(params, feat)
+        return g_dec, gfeat
+
     def _split_enc_bwd(self, state, tables, idx, gfeat, g_dec,
                        bstats_enc, bstats_dec, metrics, loss,
                        with_gflow=False):
@@ -550,10 +640,19 @@ class Trainer:
         as gather_train_step's step result."""
         feat, bstats_enc = self._jit_split_enc_fwd(
             state.params, state.batch_stats, tables, idx)
-        loss, metrics, misc, bstats_dec, g_dec, gfeat = (
-            self._jit_split_dec_grad(
+        if self._split_grid:
+            (loss, metrics, misc, bstats_dec, g_recon, g_mu, g_logvar) = (
+                self._jit_split_dec_fwd_loss(
+                    state.params, state.batch_stats, state.rng, state.step,
+                    feat, tables, idx, wt, epoch))
+            g_dec, gfeat = self._jit_split_dec_bwd(
                 state.params, state.batch_stats, state.rng, state.step,
-                feat, tables, idx, wt, epoch))
+                feat, g_recon, g_mu, g_logvar)
+        else:
+            loss, metrics, misc, bstats_dec, g_dec, gfeat = (
+                self._jit_split_dec_grad(
+                    state.params, state.batch_stats, state.rng, state.step,
+                    feat, tables, idx, wt, epoch))
         fn = (self._jit_split_enc_bwd_gflow if with_gflow
               else self._jit_split_enc_bwd)
         state, metrics, gflow = fn(

@@ -46,6 +46,14 @@ CONFIGS = [
     ("gt_split_v2", None),                 # control: shipping default
     ("gt_one_prog", "oneprog"),            # 1 program, grid-stencil loss
     ("gt_one_prog_tableloss", "oneprog"),  # 1 program, table-route loss
+    # round-4g split v3 (GENICONET_VAE_SPLIT_GRID): decoder half as TWO
+    # programs — fwd + grid-stencil loss w.r.t. outputs, then backward via
+    # a surrogate dot-loss — so the grid forms never share a program with
+    # the decoder backward (the combination that crashed as split_v2).
+    # Replaces the table-route loss: 13.0 ms/step of gather fusions in the
+    # round-4 VAE trace, at the cost of one extra heads+decoder forward.
+    ("split_v3_grid", "v3"),
+    ("split_v3_grid_col", "v3col"),        # + pre-gathered conv_in table
 ]
 
 _BENCH = r"""
@@ -130,6 +138,12 @@ def main():
             env["GENICONET_VAE_SPLIT"] = "0"
             if name.endswith("tableloss"):
                 env["GENICONET_GRID_LOSS"] = "0"
+        elif blocks in ("v3", "v3col"):  # split v3: grid loss, 4 programs
+            env.pop("GENICONET_PALLAS_BLOCKS", None)
+            env["GENICONET_VAE_SPLIT"] = "1"
+            env["GENICONET_VAE_SPLIT_GRID"] = "1"
+            if blocks == "v3col":
+                env["GENICONET_COL_FRONT"] = "1"
         else:
             env["GENICONET_PALLAS_BLOCKS"] = blocks
         print(f"[sweep] running {name} (blocks={blocks})", flush=True)

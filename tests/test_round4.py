@@ -327,6 +327,43 @@ class TestVaeSplitStep:
         assert np.isfinite(loss)
         assert tr.last_misc is not None
 
+    def test_split_v3_grid_matches_v2(self, monkeypatch, _pallas_interpret):
+        """Split v3 (GENICONET_VAE_SPLIT_GRID=1: decoder fwd + grid-stencil
+        loss w.r.t. outputs in one program, decoder backward via a
+        surrogate dot-loss in another) computes the same step as v2: same
+        loss/metrics, same post-Adam params, same running stats. For fixed
+        cotangents g, grad of <f(params, feat), g> is exactly f's VJP with
+        cotangent g, so the two-program factoring is mathematically the
+        same gradient (up to remat rounding)."""
+
+        def run(grid):
+            monkeypatch.setenv("GENICONET_VAE_SPLIT_GRID",
+                               "1" if grid else "0")
+            cfg, ds, tr, st = self._trainer()
+            assert tr._split_step and tr._split_grid == grid
+            b = Batches(ds, cfg.train.batch_size, shuffle=False)
+            tables = tr.prepared_tables(b)
+            idx, wt0 = next(iter(b.epoch_indices()))
+            tables, (st, m, misc, _) = tr.gather_train_step(
+                st, tables, idx, wt0, 0)
+            return m, misc, st
+
+        m3, misc3, st3 = run(True)
+        m2, misc2, st2 = run(False)
+        for k in ("total", "mse", "cos", "lap", "kld", "recon"):
+            np.testing.assert_allclose(float(m3[k]), float(m2[k]),
+                                       rtol=2e-5, err_msg=k)
+        assert misc3 is not None and misc3[0].shape == misc2[0].shape
+        for a, bb in zip(jax.tree.leaves(st2.params),
+                         jax.tree.leaves(st3.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=2e-4, atol=1e-6)
+        for a, bb in zip(jax.tree.leaves(st2.batch_stats),
+                         jax.tree.leaves(st3.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-4, atol=1e-6)
+        assert int(st3.step) == 1
+
 
 # ---------------------------------------------------------------------------
 # grid-stencil loss math (gather-free normals/Laplacian)
