@@ -54,6 +54,11 @@ CONFIGS = [
     # round-4 VAE trace, at the cost of one extra heads+decoder forward.
     ("split_v3_grid", "v3"),
     ("split_v3_grid_col", "v3col"),        # + pre-gathered conv_in table
+    # col_front removes the conv_in Pallas kernels from the program — the
+    # one-program grid-loss form (gt_one_prog crashed with grid loss only
+    # in the split p2; one-prog ran at 1280 with it) may now fit with a
+    # SMALLER program: no remat, no extra dispatches if stable
+    ("gt_one_prog_col", "oneprogcol"),
 ]
 
 _BENCH = r"""
@@ -144,6 +149,10 @@ def main():
             env["GENICONET_VAE_SPLIT_GRID"] = "1"
             if blocks == "v3col":
                 env["GENICONET_COL_FRONT"] = "1"
+        elif blocks == "oneprogcol":  # 1 program, grid loss, col table
+            env.pop("GENICONET_PALLAS_BLOCKS", None)
+            env["GENICONET_VAE_SPLIT"] = "0"
+            env["GENICONET_COL_FRONT"] = "1"
         else:
             env["GENICONET_PALLAS_BLOCKS"] = blocks
         print(f"[sweep] running {name} (blocks={blocks})", flush=True)
