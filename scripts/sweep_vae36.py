@@ -53,12 +53,12 @@ CONFIGS = [
     # Replaces the table-route loss: 13.0 ms/step of gather fusions in the
     # round-4 VAE trace, at the cost of one extra heads+decoder forward.
     ("split_v3_grid", "v3"),
-    ("split_v3_grid_col", "v3col"),        # + pre-gathered conv_in table
-    # col_front removes the conv_in Pallas kernels from the program — the
-    # one-program grid-loss form (gt_one_prog crashed with grid loss only
-    # in the split p2; one-prog ran at 1280 with it) may now fit with a
-    # SMALLER program: no remat, no extra dispatches if stable
-    ("gt_one_prog_col", "oneprogcol"),
+    # DROPPED round-4h: split_v3_grid_col / gt_one_prog_col. The AE
+    # hardware sweep (artifacts/env_sweep.json col_front*) measured the
+    # pre-gathered conv_in im2col table at 640 meshes/s vs 2196 control —
+    # the (N,5,h,w,84) table's per-step HBM gather traffic dominates
+    # everything it saves, so any VAE config with COL_FRONT=1 inherits a
+    # ~40 ms/step handicap. Family closed; the env gate stays for repro.
 ]
 
 _BENCH = r"""
