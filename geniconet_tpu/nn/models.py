@@ -286,13 +286,31 @@ class _Decoder(nn.Module):
             self.out_features, self.widths[-1], dtype=self.dtype, name="head"
         )
         if isinstance(x, tuple):  # fused route: (b0 phases, y10 phases, affines)
+            from geniconet_tpu.nn.layers import pallas_block_enabled
+
             b0, y10, affines = x
-            kernel, bias = head(get_params=True)
-            if target is not None:
-                return fused_pair_head_mse(b0, y10, affines, kernel, bias,
-                                           *target)
-            outs = fused_pair_head(b0, y10, affines, kernel, bias)
-            return phase_merge(outs)
+            if not pallas_block_enabled("head", self.pallas_blocks):
+                # routing probe (GENICONET_PALLAS_BLOCKS without 'head'):
+                # run the last block's residual tail + head on XLA while the
+                # conv blocks stay fused — the N=3 head matmuls starve the
+                # MXU inside Mosaic (round-4 trace: 0.92 ms/step for
+                # ~0.5 GFLOP), so XLA may schedule them better
+                mul01, add01, mul10, add10 = affines
+                x = phase_merge(tuple(
+                    jnp.maximum(
+                        a.astype(jnp.float32) * mul01 + add01
+                        + b.astype(jnp.float32) * mul10 + add10,
+                        0.0,
+                    ).astype(self.dtype)
+                    for a, b in zip(b0, y10)
+                ))
+            else:
+                kernel, bias = head(get_params=True)
+                if target is not None:
+                    return fused_pair_head_mse(b0, y10, affines, kernel, bias,
+                                               *target)
+                outs = fused_pair_head(b0, y10, affines, kernel, bias)
+                return phase_merge(outs)
         out = jnp.tanh(head(x).astype(jnp.float32))
         if target is None:
             return out

@@ -984,16 +984,19 @@ class Trainer:
             state, tables, order[0], wts[0], epoch, split_packed=True)
 
         def body(carry, ow):
-            st, _ = carry
+            st, _, _ = carry
             idx, wt = ow
             st, metrics, mc, _ = self._train_step_gather(
                 st, tables, idx, wt, epoch, split_packed=True)
-            return (st, mc), metrics
+            return (st, metrics, mc), None
 
-        (state, misc), ms = jax.lax.scan(
-            body, (state, misc), (order[1:], wts[1:]))
-        metrics = jax.tree.map(
-            lambda a, b: jnp.concatenate([a[None], b]), m0, ms)
+        # carry the LAST step's metrics instead of stacking all of them:
+        # the scanned route only ever reads the final step (the log cadence
+        # never fires inside a scanned epoch — _can_scan_epoch), and host-
+        # slicing a stacked tree cost ~8 extra dispatches per epoch on the
+        # tunneled backend (~0.5 ms/step at 10-batch epochs)
+        (state, metrics, misc), _ = jax.lax.scan(
+            body, (state, m0, misc), (order[1:], wts[1:]))
         return state, metrics, misc
 
     def _can_scan_epoch(self, batches: Batches, nb: int) -> bool:
@@ -1043,14 +1046,13 @@ class Trainer:
         order, wts, tail = batches.epoch_order()
         if tables is getattr(self, "_gather_auto_src", None):
             tables = self._gather_auto_tables
-        state, metrics, misc = self._jit_train_epoch_scan(
+        state, last_device, misc = self._jit_train_epoch_scan(
             state, tables, jnp.asarray(order), jnp.asarray(wts), epoch)
         self._gather_auto_state = None  # scan outputs use default formats
         n = order.shape[0]
         self._host_step += n
         if self.is_vae and misc is not None:
             self.last_misc = misc
-        last_device = jax.tree.map(lambda a: a[-1], metrics)
         if tail is not None:
             idx, wt = tail
             # plain jit, NOT gather_train_step: the tail's ragged idx shape

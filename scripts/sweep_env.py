@@ -86,6 +86,20 @@ CONFIGS = [
     ("phmse_k4", {"GENICONET_PHMSE_K": "4"}),
     ("col_phmse_k2", {"GENICONET_COL_FRONT": "1",
                       "GENICONET_PHMSE_K": "2"}),
+    # round-4i: the trace attribution (ROADMAP) shows the two EDGE kernels
+    # starve the MXU: conv_in fwd+dtaps = 1.17 ms for ~2 GFLOP (K=21
+    # contraction, 3-lane VPU tiles) and the fused head+MSE = 0.92 ms for
+    # ~0.5 GFLOP (N=3 matmuls). Route each to XLA (never measured for the
+    # AE; GENICONET_PALLAS_BLOCKS lists the blocks that KEEP kernels).
+    ("ae_noconvin", {"GENICONET_PALLAS_BLOCKS":
+                     "down0,down1,down2,up0,up1,up2,head"}),
+    ("ae_nohead", {"GENICONET_PALLAS_BLOCKS":
+                   "conv_in,down0,down1,down2,up0,up1,up2"}),
+    ("ae_noedges", {"GENICONET_PALLAS_BLOCKS":
+                    "down0,down1,down2,up0,up1,up2"}),
+    # re-probe the standalone Pallas fold kernel (round-3: -22 at the
+    # 2079-era program; the program has since changed shape twice)
+    ("fold_pallas", {"GENICONET_PALLAS_FOLD": "1"}),
 ]
 
 _BENCH = r"""
