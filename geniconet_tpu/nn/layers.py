@@ -302,7 +302,10 @@ class DownBlock(nn.Module):
         from geniconet_tpu.ops.pallas.phase_kernel import (
             fused_down_block,
             fused_dual_s2_conv,
+            fused_dual_s2_conv_split,
+            fused_phase_conv_s1,
             merged_block_enabled,
+            phase_chain_enabled,
             phase_vmem_ok,
         )
 
@@ -333,6 +336,54 @@ class DownBlock(nn.Module):
                 xp[0], get_params=True
             )
             fold_ok = self.pallas_blocks is None
+            if phase_chain_enabled():
+                # phase chain (GENICONET_PHASE_CHAIN): the stride-2 kernel
+                # emits its outputs AS level-(s-1) phases, conv01 consumes
+                # them through the phase conv, and the residual join runs
+                # per-phase — no spatial tensor, phase_split gather, or
+                # relayout copy between encoder blocks. The joined phase
+                # tuple feeds the next block's phases_in path directly.
+                if train:
+                    y00p, y10p, s00, s10 = fused_dual_s2_conv_split(
+                        xp, t00, b00, t10, b10, self.corner_mode,
+                        act=in_act, with_stats=True, fold_ok=fold_ok,
+                    )
+                else:
+                    y00p, y10p = fused_dual_s2_conv_split(
+                        xp, t00, b00, t10, b10, self.corner_mode, act=in_act,
+                        fold_ok=fold_ok,
+                    )
+                    s00 = s10 = None
+                cnt = 4.0 * math.prod(y00p[0].shape[:-1])
+                mul00, add00 = IcoBatchNorm(name="bn00", **bn)(
+                    {"stats": s00, "count": cnt, "features": F}
+                )
+                t01, b01 = IcoConvS2S(F, s - 1, stride=1, name="conv01",
+                                      **kw)(y00p[0], get_params=True)
+                if train:
+                    b0p, s01 = fused_phase_conv_s1(
+                        y00p, t01, b01, self.corner_mode,
+                        act=(mul00, add00), with_stats=True, fold_ok=fold_ok,
+                        fold_site=self.name or "",
+                    )
+                else:
+                    b0p = fused_phase_conv_s1(
+                        y00p, t01, b01, self.corner_mode, act=(mul00, add00))
+                    s01 = None
+                mul01, add01 = IcoBatchNorm(name="bn01", **bn)(
+                    {"stats": s01, "count": cnt, "features": F}
+                )
+                mul10, add10 = IcoBatchNorm(name="bn10", **bn)(
+                    {"stats": s10, "count": cnt, "features": F}
+                )
+                return tuple(
+                    jnp.maximum(
+                        a.astype(jnp.float32) * mul01 + add01
+                        + b.astype(jnp.float32) * mul10 + add10,
+                        0.0,
+                    ).astype(self.dtype)
+                    for a, b in zip(b0p, y10p)
+                )
             if (
                 train
                 and self.axis_name is None  # in-kernel affine = local moments
@@ -446,6 +497,7 @@ class UpBlock(nn.Module):
             fused_phase_conv_s1,
             fused_up_block,
             fused_up_dual_conv,
+            fused_up_dual_conv_pair,
             merged_block_enabled,
             phase_vmem_ok,
         )
@@ -454,27 +506,40 @@ class UpBlock(nn.Module):
                   use_pallas=self.use_pallas)
         bn = dict(use_running_average=not train, axis_name=self.axis_name, dtype=self.dtype)
         s = self.in_subdivisions
-        xd = x.astype(self.dtype)
-        h, w = x.shape[2], x.shape[3]  # == phase shape of the s+1 grid
+        # phase-chain input (GENICONET_PHASE_CHAIN): the previous UpBlock's
+        # raw phase pairs + pending affines — the residual tail runs as this
+        # block's first-kernel prologue on the fused path (join + interleave
+        # in XLA on the fallback)
+        pair_in = isinstance(x, tuple) and len(x) == 3
+        if pair_in:
+            pb0, py10, paff = x
+            h, w = 2 * pb0[0].shape[2], 2 * pb0[0].shape[3]
+            cin = pb0[0].shape[-1]
+        else:
+            xd = x.astype(self.dtype)
+            h, w = x.shape[2], x.shape[3]  # == phase shape of the s+1 grid
+            cin = x.shape[-1]
         F = self.features
         if (
             self.use_pallas
             and pallas_block_enabled(self.name, self.pallas_blocks)
-            and phase_vmem_ok(h, w, x.shape[-1], F, n_sets=2)
+            and phase_vmem_ok(h, w, cin, F, n_sets=2)
         ):
             # whole block in phase form: upsample + both first convs fused
             # (the 4x-sized upsampled tensor never reaches HBM), BN moments
             # emitted by the kernels, bn00-apply+relu as the second conv's
             # in-kernel prologue, ONE interleave at the output in XLA.
+            shape_ref = pb0[0] if pair_in else xd
             t00, b00 = IcoConvS2S(F, s + 1, stride=1, name="conv00", **kw)(
-                xd, get_params=True
+                shape_ref, get_params=True
             )
             t10, b10 = IcoConvS2S(F, s + 1, stride=1, name="conv10", **kw)(
-                xd, get_params=True
+                shape_ref, get_params=True
             )
             fold_ok = self.pallas_blocks is None
             if (
                 train
+                and not pair_in  # the merged two-pass kernel has no pair form
                 and self.axis_name is None  # in-kernel affine = local moments
                 and merged_block_enabled(self.name or "")
             ):
@@ -514,7 +579,17 @@ class UpBlock(nn.Module):
                     for a, b in zip(b0, y10)
                 )
                 return phase_merge(out)
-            if train:
+            if pair_in:
+                if train:
+                    y00, y10, s00, s10 = fused_up_dual_conv_pair(
+                        pb0, py10, paff, t00, b00, t10, b10,
+                        self.corner_mode, with_stats=True, fold_ok=fold_ok,
+                    )
+                else:
+                    y00, y10 = fused_up_dual_conv_pair(
+                        pb0, py10, paff, t00, b00, t10, b10, self.corner_mode)
+                    s00 = s10 = None
+            elif train:
                 y00, y10, s00, s10 = fused_up_dual_conv(
                     xd, t00, b00, t10, b10, self.corner_mode, with_stats=True,
                     fold_ok=fold_ok
@@ -558,6 +633,18 @@ class UpBlock(nn.Module):
             )
             return phase_merge(out)
 
+        if pair_in:
+            # XLA fallback of the pair prologue: the previous block's
+            # residual tail + interleave (same math as the fused epilogue)
+            mul1, add1, mul2, add2 = paff
+            xd = phase_merge(tuple(
+                jnp.maximum(
+                    a.astype(jnp.float32) * mul1 + add1
+                    + b.astype(jnp.float32) * mul2 + add2,
+                    0.0,
+                ).astype(self.dtype)
+                for a, b in zip(pb0, py10)
+            ))
         up = ico_upsample_s2s(xd, s, self.corner_mode)
         # both branches read the same upsampled halo — pad once (the route
         # when the fused kernels would exceed scoped VMEM at s>=6)

@@ -154,7 +154,7 @@ class _Encoder(nn.Module):
                     use_pallas=self.use_pallas,
                     pallas_blocks=self.pallas_blocks,
                 )(x, train=train, in_act=in_act if k == 0 else None)
-            return x
+            return phase_merge(x) if isinstance(x, tuple) else x
         if col_in:
             # single-stage encoder: recover the raw phases from the center
             # taps (t=3 -> lanes 21p+9..21p+12) and take the standard path
@@ -215,6 +215,10 @@ class _Encoder(nn.Module):
                 corner_mode=self.corner_mode, dtype=self.dtype,
                 use_pallas=self.use_pallas, pallas_blocks=self.pallas_blocks,
             )(x, train=train, in_act=in_act if k == 0 else None)
+        if isinstance(x, tuple):
+            # phase-chain blocks hand phases along; one interleave at the
+            # bottleneck (level s-3, e.g. (B, 5, 4, 8, 256) at s=5 — tiny)
+            x = phase_merge(x)
         return x
 
 
@@ -266,12 +270,17 @@ class _Decoder(nn.Module):
         from geniconet_tpu.ops.pallas.phase_kernel import (
             fused_pair_head,
             fused_pair_head_mse,
+            phase_chain_enabled,
         )
         from geniconet_tpu.ops.phase import phase_merge
 
         s = self.bottleneck_subdivisions
         x = z
         last = len(self.widths) - 1
+        # phase chain (GENICONET_PHASE_CHAIN): EVERY block hands its raw
+        # phases + pending affines to the next one — the residual tails run
+        # as kernel prologues and no spatial tensor exists between blocks
+        chain = self.use_pallas and phase_chain_enabled()
         for k, width in enumerate(self.widths):
             x = UpBlock(
                 width, s + k, axis_name=self.axis_name, name=f"up{k}",
@@ -279,7 +288,7 @@ class _Decoder(nn.Module):
                 use_pallas=self.use_pallas, pallas_blocks=self.pallas_blocks,
                 # the last block hands its raw phases + pending affines to
                 # the fused head epilogue (tail+head+tanh in one kernel)
-                return_phases=(self.use_pallas and k == last),
+                return_phases=(self.use_pallas and (chain or k == last)),
             )(x, train=train)
         # 1x1 conv head + tanh (reference models.py:151-155)
         head = _Head(

@@ -1646,6 +1646,300 @@ def fused_dual_s2_conv(phases, taps_a, bias_a, taps_b, bias_b,
     return (ya, yb, sa, sb) if with_stats else (ya, yb)
 
 
+# ------------------------- fused_dual_s2_conv_split -------------------------
+#
+# The phase-chain twin of fused_dual_s2_conv (GENICONET_PHASE_CHAIN): both
+# stride-2 outputs are emitted AS the 4 parity phases of the level-(s-1)
+# grid (an in-VMEM reshape split), so the block's second conv consumes them
+# through fused_phase_conv_s1 and the residual join runs per-phase — no
+# spatial tensor, phase_split gather, or relayout copy between encoder
+# blocks (round-4 trace: ~0.45 ms/step across down0-down2). The backward
+# kernels re-interleave the phase cotangents at entry and DELEGATE to the
+# generic _pc_dx_kernel/_pc_dtaps_kernel bodies (values flow through the
+# shared helpers unchanged), so the conv math has one definition.
+
+
+def _split4(arr, k, hp, wp):
+    """(k, 5, 2hp, 2wp, C) -> the 4 parity phases (k, 5, hp, wp, C); the
+    in-VMEM twin of ops/phase.phase_split (inverse of _interleave4)."""
+    C = arr.shape[-1]
+    r = arr.reshape(k, 5, hp, 2, wp, 2, C)
+    return tuple(r[:, :, :, p >> 1, :, p & 1, :] for p in range(4))
+
+
+def _ds2s_fwd_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype, has_act,
+                     with_stats):
+    phases, idx = _unpack_phases(refs, False, h, w, k)
+    if has_act:
+        mul, add = refs[idx][0], refs[idx + 1][0]
+        phases = tuple(_act_apply(p, mul, add) for p in phases)
+        idx += 2
+    w_refs = [refs[idx + 2 * i] for i in range(n_sets)]
+    b_refs = [refs[idx + 1 + 2 * i] for i in range(n_sets)]
+    outs = refs[idx + 2 * n_sets : idx + 2 * n_sets + 4 * n_sets]
+    stat_outs = refs[idx + 2 * n_sets + 4 * n_sets :]
+    padded = _phase_pad_k(phases, k, h, w, corner_mode)
+    results = _contract(padded, w_refs, b_refs, (2,), h, w, k, out_dtype)
+    i = 0
+    for si, per_set in enumerate(results):
+        (arr,) = per_set
+        for ph in _split4(arr, k, h // 2, w // 2):
+            outs[i][...] = ph
+            i += 1
+        if with_stats:
+            part = _stats_partial(per_set)
+
+            @pl.when(pl.program_id(0) == 0)
+            def _(si=si):
+                stat_outs[si][...] = jnp.zeros_like(stat_outs[si])
+
+            stat_outs[si][...] += part
+
+
+def _ds2s_dx_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype, has_act,
+                    with_stats):
+    """Interleave the per-set phase cotangents (and the saved phase outputs
+    under the in-kernel fold) back into the coarse grid, then delegate to
+    _pc_dx_kernel — the g/y positions carry VALUES, which every shared
+    helper consumes identically to refs."""
+    hp, wp = h // 2, w // 2
+    m = 4 * n_sets
+    g_vals = [
+        _interleave4([r[...] for r in refs[si * 4 : (si + 1) * 4]], k, hp, wp)
+        for si in range(n_sets)
+    ]
+    rest = list(refs[m:])
+    if with_stats:
+        y_vals = [
+            _interleave4([r[...] for r in rest[si * 4 : (si + 1) * 4]],
+                         k, hp, wp)
+            for si in range(n_sets)
+        ]
+        rest = rest[m:]
+        new = g_vals + y_vals + rest
+    else:
+        new = g_vals + rest
+    _pc_dx_kernel(*new, h=h, w=w, k=k, corner_mode=corner_mode,
+                  out_phases=(2,), n_sets=n_sets, out_dtype=out_dtype,
+                  has_act=has_act, with_stats=with_stats)
+
+
+def _ds2s_dtaps_kernel(*refs, h, w, k, corner_mode, n_sets, has_act,
+                       with_stats=False, emit_gsum=False):
+    hp, wp = h // 2, w // 2
+    pre = 4 + (2 if has_act else 0)
+    m = 4 * n_sets
+    g_vals = [
+        _interleave4(
+            [r[...] for r in refs[pre + si * 4 : pre + (si + 1) * 4]],
+            k, hp, wp)
+        for si in range(n_sets)
+    ]
+    rest = list(refs[pre + m :])
+    if with_stats:
+        y_vals = [
+            _interleave4([r[...] for r in rest[si * 4 : (si + 1) * 4]],
+                         k, hp, wp)
+            for si in range(n_sets)
+        ]
+        rest = rest[m:]
+        new = list(refs[:pre]) + g_vals + y_vals + rest
+    else:
+        new = list(refs[:pre]) + g_vals + rest
+    _pc_dtaps_kernel(*new, h=h, w=w, k=k, corner_mode=corner_mode,
+                     out_phases=(2,), n_sets=n_sets, has_act=has_act,
+                     with_stats=with_stats, emit_gsum=emit_gsum,
+                     packed=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _ds2s(phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
+          corner_mode, with_stats, fold_ok=True):
+    B = phases[0].shape[0]
+    h, w = phases[0].shape[2], phases[0].shape[3]
+    cin = taps_a.shape[1]
+    dtype = phases[0].dtype
+    tap_sets = [(taps_a, bias_a), (taps_b, bias_b)]
+    couts = [t.shape[-1] for t, _ in tap_sets]
+    act = _mk_act(act_mul, act_add)
+    per_sample = 5 * h * w * (8 * cin + 5 * sum(couts)) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+    kernel = functools.partial(
+        _ds2s_fwd_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
+        n_sets=2, out_dtype=dtype, has_act=act is not None,
+        with_stats=with_stats,
+    )
+    in_specs = [_block((k, 5, h, w, cin))] * 4
+    args = list(phases)
+    if act is not None:
+        in_specs += [_block((1, cin))] * 2
+        args += [act[0].reshape(1, cin).astype(jnp.float32),
+                 act[1].reshape(1, cin).astype(jnp.float32)]
+    for taps, bias in tap_sets:
+        in_specs += [_full(), _block((1, taps.shape[-1]))]
+        args += [taps, _norm_bias(bias, taps.shape[-1], taps.dtype)]
+    hp, wp = h // 2, w // 2
+    out_shape, out_specs = [], []
+    for cout in couts:
+        for _ in range(4):
+            out_shape.append(
+                jax.ShapeDtypeStruct((B, 5, hp, wp, cout), dtype))
+            out_specs.append(_block((k, 5, hp, wp, cout)))
+    if with_stats:
+        for cout in couts:
+            out_shape.append(jax.ShapeDtypeStruct((2, cout), jnp.float32))
+            out_specs.append(_acc_spec((2, cout)))
+    flops = 2 * B * 5 * h * w * 7 * cin * sum(couts)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 4),
+    )(*args)
+    ya, yb = tuple(outs[0:4]), tuple(outs[4:8])
+    sa, sb = (outs[8], outs[9]) if with_stats else (None, None)
+    return ya, yb, sa, sb
+
+
+def _ds2s_fwd(phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
+              corner_mode, with_stats, fold_ok=True):
+    ya, yb, sa, sb = _ds2s(phases, taps_a, bias_a, taps_b, bias_b,
+                           act_mul, act_add, corner_mode, with_stats, fold_ok)
+    res = (phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add,
+           (ya, yb) if with_stats else None)
+    return (ya, yb, sa, sb), res
+
+
+def _ds2s_bwd(corner_mode, with_stats, fold_ok, res, g):
+    phases, taps_a, bias_a, taps_b, bias_b, act_mul, act_add, ys = res
+    ga, gb, gsa, gsb = g
+    act = _mk_act(act_mul, act_add)
+    B = phases[0].shape[0]
+    h, w = phases[0].shape[2], phases[0].shape[3]
+    hp, wp = h // 2, w // 2
+    cin = phases[0].shape[-1]
+    dtype = phases[0].dtype
+    tap_sets = [(taps_a, bias_a), (taps_b, bias_b)]
+    couts = [taps_a.shape[-1], taps_b.shape[-1]]
+    fold = with_stats and _kernel_geff_enabled("ds2", fold_ok)
+    if with_stats and not fold:
+        ga = _stats_geff(ga, ys[0], gsa)
+        gb = _stats_geff(gb, ys[1], gsb)
+
+    def gy_specs_args(specs, args):
+        for g_group, cout in zip((ga, gb), couts):
+            specs += [_block((k, 5, hp, wp, cout))] * 4
+            args += list(g_group)
+        if fold:
+            for y_group, cout in zip(ys, couts):
+                specs += [_block((k, 5, hp, wp, cout))] * 4
+                args += list(y_group)
+            for gs, cout in zip((gsa, gsb), couts):
+                specs.append(_acc_spec((2, cout)))
+                args.append(gs)
+        return specs, args
+
+    # dx kernel
+    per_sample = 5 * h * w * (12 * cin + (8 if fold else 4) * sum(couts)) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+    dx_kernel = functools.partial(
+        _ds2s_dx_kernel, h=h, w=w, k=k, corner_mode=corner_mode, n_sets=2,
+        out_dtype=dtype, has_act=act is not None, with_stats=fold,
+    )
+    in_specs, args = gy_specs_args([], [])
+    in_specs += [_full(), _full()]
+    args += [taps_a, taps_b]
+    if act is not None:
+        in_specs += [_block((k, 5, h, w, cin))] * 4
+        args += list(phases)
+        in_specs += [_block((1, cin))] * 2
+        args += [act[0].reshape(1, cin).astype(jnp.float32),
+                 act[1].reshape(1, cin).astype(jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((B, 5, h, w, cin), dtype)] * 4
+    out_specs = [_block((k, 5, h, w, cin))] * 4
+    if fold:
+        for cout in couts:
+            out_shape.append(jax.ShapeDtypeStruct((1, cout), jnp.float32))
+            out_specs.append(_acc_spec((1, cout)))
+    if act is not None:
+        out_shape += [jax.ShapeDtypeStruct((1, cin), jnp.float32)] * 2
+        out_specs += [_acc_spec((1, cin))] * 2
+    flops = 2 * B * 5 * h * w * 7 * cin * sum(couts)
+    outs = pl.pallas_call(
+        dx_kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 4),
+    )(*args)
+    dphases = tuple(outs[:4])
+    idx = 4
+    gsums = None
+    if fold:
+        gsums = [o.reshape(-1) for o in outs[idx : idx + 2]]
+        idx += 2
+    dmul = dadd = None
+    if act is not None:
+        dmul = outs[idx].reshape(cin)
+        dadd = outs[idx + 1].reshape(cin)
+
+    # dtaps kernel
+    want_gsum = gsums is None and (bias_a is not None or bias_b is not None)
+    dt_kernel = functools.partial(
+        _ds2s_dtaps_kernel, h=h, w=w, k=k, corner_mode=corner_mode, n_sets=2,
+        has_act=act is not None, with_stats=fold, emit_gsum=want_gsum,
+    )
+    in_specs = [_block((k, 5, h, w, cin))] * 4
+    args = list(phases)
+    if act is not None:
+        in_specs += [_block((1, cin))] * 2
+        args += [act[0].reshape(1, cin).astype(jnp.float32),
+                 act[1].reshape(1, cin).astype(jnp.float32)]
+    in_specs, args = gy_specs_args(in_specs, args)
+    out_shape = [jax.ShapeDtypeStruct((7, cin, c), jnp.float32) for c in couts]
+    out_specs = [
+        pl.BlockSpec((7, cin, c), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
+        for c in couts
+    ]
+    if want_gsum:
+        for c in couts:
+            out_shape.append(jax.ShapeDtypeStruct((1, c), jnp.float32))
+            out_specs.append(_acc_spec((1, c)))
+    outs = pl.pallas_call(
+        dt_kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * 4),
+    )(*args)
+    dta, dtb = outs[0], outs[1]
+    if want_gsum:
+        gsums = [o.reshape(-1) for o in outs[2:4]]
+    dba = None if bias_a is None else gsums[0].astype(bias_a.dtype)
+    dbb = None if bias_b is None else gsums[1].astype(bias_b.dtype)
+    return (dphases, dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype),
+            dbb, dmul, dadd)
+
+
+_ds2s.defvjp(_ds2s_fwd, _ds2s_bwd)
+
+
+def fused_dual_s2_conv_split(phases, taps_a, bias_a, taps_b, bias_b,
+                             corner_mode="average", act=None,
+                             with_stats=False, fold_ok=True):
+    """Both stride-2 convs of a DownBlock, outputs emitted as the 4 parity
+    phases of the level-(s-1) grid (phase-chain form — see section comment).
+    Returns (ya_phases, yb_phases) 4-tuples [+ (2, C) stats per set]."""
+    mul, add = (act if act is not None else (None, None))
+    ya, yb, sa, sb = _ds2s(tuple(phases), taps_a, bias_a, taps_b, bias_b,
+                           mul, add, corner_mode, with_stats, fold_ok)
+    return (ya, yb, sa, sb) if with_stats else (ya, yb)
+
+
 # ---------------------------- fused_up_dual_conv ---------------------------
 
 
@@ -1859,6 +2153,356 @@ def fused_up_dual_conv(x, taps_a, bias_a, taps_b, bias_b,
     ya, yb, sa, sb = _upd(x, taps_a, bias_a, taps_b, bias_b, corner_mode,
                           with_stats, fold_ok)
     return (ya, yb, sa, sb) if with_stats else (ya, yb)
+
+
+# --------------------------- fused_up_dual_conv_pair -------------------------
+#
+# The phase-chain variant (GENICONET_PHASE_CHAIN): the previous UpBlock's
+# residual tail never runs in XLA. Instead of a spatial level-s input, the
+# kernel takes the previous block's RAW phase pairs (b0 from its second
+# conv, y10 from its residual branch) plus the four pending BatchNorm
+# affines, and computes the tail
+#     x_p = relu(b0_p·mul1 + add1 + y10_p·mul2 + add2)      (per phase)
+# followed by the interleave IN VMEM before the usual upsample + dual conv.
+# This removes, per UpBlock boundary, the XLA join fusion, the phase_merge
+# interleave, and the joined tensor's HBM round trip (round-4 trace:
+# ~0.35 ms/step at the up1->up2 boundary alone). The join math and its
+# backward are copied from the proven fused_pair_head prologue
+# (_phead_fwd_kernel/_phead_bwd_kernel); the interleave is the exact
+# inverse of the `_pick` parity split the stride-2 kernels already compile.
+
+
+def _pair_join(a_ref_val, b_ref_val, mul1, add1, mul2, add2, cdtype):
+    a32 = a_ref_val.astype(jnp.float32)
+    b32 = b_ref_val.astype(jnp.float32)
+    return jnp.maximum(a32 * mul1 + add1 + b32 * mul2 + add2, 0.0).astype(cdtype)
+
+
+def _interleave4(phases, k, hp, wp):
+    """4 level-s phases (k, 5, hp, wp, C) -> spatial (k, 5, 2hp, 2wp, C);
+    the in-VMEM twin of ops/phase.phase_merge."""
+    ee, eq, oo, oq = phases
+    C = ee.shape[-1]
+    even = jnp.stack([ee, eq], axis=4).reshape(k, 5, hp, 2 * wp, C)
+    odd = jnp.stack([oo, oq], axis=4).reshape(k, 5, hp, 2 * wp, C)
+    return jnp.stack([even, odd], axis=3).reshape(k, 5, 2 * hp, 2 * wp, C)
+
+
+def _pair_build_x(refs0, k, hp, wp, cdtype):
+    """Shared input parse for the pair kernels: 8 phase refs + 4 affine
+    refs -> (joined phases list, interleaved spatial x)."""
+    b0 = refs0[0:4]
+    y10 = refs0[4:8]
+    mul1, add1 = refs0[8][0], refs0[9][0]
+    mul2, add2 = refs0[10][0], refs0[11][0]
+    xp = [
+        _pair_join(a[...], b[...], mul1, add1, mul2, add2, cdtype)
+        for a, b in zip(b0, y10)
+    ]
+    return xp, _interleave4(xp, k, hp, wp)
+
+
+def _up_pair_fwd_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype,
+                        with_stats):
+    """refs = b0(4), y10(4), mul1, add1, mul2, add2, n_sets×(taps, bias),
+    then n_sets×4 phase outputs [+ n_sets stats accumulators]. h, w are the
+    SPATIAL level-s dims (2·phase dims), as in _up_fwd_kernel."""
+    _, x = _pair_build_x(refs[:12], k, h // 2, w // 2, out_dtype)
+    idx = 12
+    w_refs = [refs[idx + 2 * i] for i in range(n_sets)]
+    b_refs = [refs[idx + 1 + 2 * i] for i in range(n_sets)]
+    outs = refs[idx + 2 * n_sets : idx + 2 * n_sets + 4 * n_sets]
+    stat_outs = refs[idx + 2 * n_sets + 4 * n_sets :]
+    P = jnp.concatenate(
+        [_build_padded(x[i], h, w, corner_mode) for i in range(k)], axis=0
+    )
+    phases = _upsample_phases(P, h, w)
+    padded = _phase_pad_k(phases, k, h, w, corner_mode)
+    results = _contract(padded, w_refs, b_refs, _ALL, h, w, k, out_dtype)
+    i = 0
+    for si, per_set in enumerate(results):
+        for arr in per_set:
+            outs[i][...] = arr
+            i += 1
+        if with_stats:
+            part = _stats_partial(per_set)
+
+            @pl.when(pl.program_id(0) == 0)
+            def _(si=si):
+                stat_outs[si][...] = jnp.zeros_like(stat_outs[si])
+
+            stat_outs[si][...] += part
+
+
+def _up_pair_dx_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype,
+                       with_stats=False, emit_gsum=False):
+    """The pair twin of _up_dx_kernel: after the conv/upsample/pad
+    transposes produce the spatial dx, de-interleave it and push it through
+    the residual tail's adjoint — emitting the 8 phase cotangents (db0_p =
+    dpre·mul1, dy10_p = dpre·mul2, dpre = dx_p·relu-mask) plus the four
+    affine-grad accumulators, exactly _phead_bwd_kernel's math."""
+    g_groups, idx = _up_fold_groups(refs, 0, n_sets, with_stats, out_dtype)
+    b0 = refs[idx : idx + 4]
+    y10 = refs[idx + 4 : idx + 8]
+    mul1, add1 = refs[idx + 8][0], refs[idx + 9][0]
+    mul2, add2 = refs[idx + 10][0], refs[idx + 11][0]
+    idx += 12
+    w_refs = refs[idx : idx + n_sets]
+    idx += n_sets
+    db0 = refs[idx : idx + 4]
+    dy10 = refs[idx + 4 : idx + 8]
+    dm1_ref, da1_ref, dm2_ref, da2_ref = refs[idx + 8 : idx + 12]
+    idx += 12
+    gsum_refs = refs[idx:]
+    cin = w_refs[0].shape[1]
+    first = pl.program_id(0) == 0
+    if emit_gsum:
+        for si, g_set in enumerate(g_groups):
+            part = sum(
+                jnp.sum(g[...].astype(jnp.float32), axis=(0, 1, 2, 3))
+                for g in g_set
+            ).reshape(1, -1)
+
+            @pl.when(first)
+            def _(si=si):
+                gsum_refs[si][...] = jnp.zeros_like(gsum_refs[si])
+
+            gsum_refs[si][...] += part
+    dpad = _dpad_accumulate(g_groups, w_refs, _ALL, h, w, k, cin)
+    dphases = _phase_pad_transpose(dpad, k, h, w, corner_mode)
+    dP = _upsample_transpose(dphases, h, w)
+    dx = _pad_transpose(dP, h=h, w=w, corner_mode=corner_mode, k=k)
+    dx = dx.reshape(k, 5, h // 2, 2, w // 2, 2, cin)  # fp32
+
+    @pl.when(first)
+    def _():
+        dm1_ref[...] = jnp.zeros_like(dm1_ref)
+        da1_ref[...] = jnp.zeros_like(da1_ref)
+        dm2_ref[...] = jnp.zeros_like(dm2_ref)
+        da2_ref[...] = jnp.zeros_like(da2_ref)
+
+    dm1_p = jnp.zeros((cin,), jnp.float32)
+    da1_p = jnp.zeros((cin,), jnp.float32)
+    dm2_p = jnp.zeros((cin,), jnp.float32)
+    for p in range(4):
+        a32 = b0[p][...].astype(jnp.float32)
+        b32 = y10[p][...].astype(jnp.float32)
+        pre = a32 * mul1 + add1 + b32 * mul2 + add2
+        dxp = dx[:, :, :, p >> 1, :, p & 1, :]
+        dpre = dxp * (pre > 0.0).astype(jnp.float32)
+        db0[p][...] = (dpre * mul1).astype(out_dtype)
+        dy10[p][...] = (dpre * mul2).astype(out_dtype)
+        dm1_p += jnp.sum(dpre * a32, axis=(0, 1, 2, 3))
+        da1_p += jnp.sum(dpre, axis=(0, 1, 2, 3))
+        dm2_p += jnp.sum(dpre * b32, axis=(0, 1, 2, 3))
+    dm1_ref[...] += dm1_p.reshape(1, cin)
+    da1_ref[...] += da1_p.reshape(1, cin)
+    dm2_ref[...] += dm2_p.reshape(1, cin)
+    da2_ref[...] += da1_p.reshape(1, cin)  # Σdpre is shared by both affines
+
+
+def _up_pair_dtaps_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype,
+                          with_stats=False):
+    """The pair twin of _up_dtaps_kernel: the joined input is rebuilt
+    in-VMEM from the saved (b0, y10, affines) residuals."""
+    _, x = _pair_build_x(refs[:12], k, h // 2, w // 2, out_dtype)
+    g_groups, idx = _up_fold_groups(refs, 12, n_sets, with_stats, out_dtype)
+    outs = refs[idx:]
+    P = jnp.concatenate(
+        [_build_padded(x[i], h, w, corner_mode) for i in range(k)], axis=0
+    )
+    phases = _upsample_phases(P, h, w)
+    padded = _phase_pad_k(phases, k, h, w, corner_mode)
+    _dtaps_accumulate(
+        padded, g_groups, outs, _ALL, h, w, k, pl.program_id(0) == 0
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def _updp(b0, y10, mul1, add1, mul2, add2, taps_a, bias_a, taps_b, bias_b,
+          corner_mode, with_stats, fold_ok=True):
+    hp, wp = b0[0].shape[2], b0[0].shape[3]
+    h, w = 2 * hp, 2 * wp
+    B, cin = b0[0].shape[0], b0[0].shape[-1]
+    dtype = b0[0].dtype
+    tap_sets = [(taps_a, bias_a), (taps_b, bias_b)]
+    couts = [t.shape[-1] for t, _ in tap_sets]
+    # vs _up_conv_fwd_impl: +3·cin for the 8 phase inputs replacing x plus
+    # the joined spatial temporary
+    per_sample = 5 * h * w * (17 * cin + 4 * sum(couts)) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+    kernel = functools.partial(
+        _up_pair_fwd_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
+        n_sets=2, out_dtype=dtype, with_stats=with_stats,
+    )
+    in_specs = [_block((k, 5, hp, wp, cin))] * 8 + [_block((1, cin))] * 4
+    args = (list(b0) + list(y10)
+            + [v.reshape(1, cin).astype(jnp.float32)
+               for v in (mul1, add1, mul2, add2)])
+    for taps, bias in tap_sets:
+        in_specs += [_full(), _block((1, taps.shape[-1]))]
+        args += [taps, _norm_bias(bias, taps.shape[-1], taps.dtype)]
+    out_shape, out_specs = [], []
+    for cout in couts:
+        for _ in range(4):
+            out_shape.append(jax.ShapeDtypeStruct((B, 5, h, w, cout), dtype))
+            out_specs.append(_block((k, 5, h, w, cout)))
+    if with_stats:
+        for cout in couts:
+            out_shape.append(jax.ShapeDtypeStruct((2, cout), jnp.float32))
+            out_specs.append(_acc_spec((2, cout)))
+    flops = 2 * B * 5 * h * w * 4 * 7 * cin * sum(couts)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 5),
+    )(*args)
+    ya, yb = tuple(outs[0:4]), tuple(outs[4:8])
+    sa, sb = (outs[8], outs[9]) if with_stats else (None, None)
+    return ya, yb, sa, sb
+
+
+def _updp_fwd(b0, y10, mul1, add1, mul2, add2, taps_a, bias_a, taps_b,
+              bias_b, corner_mode, with_stats, fold_ok=True):
+    ya, yb, sa, sb = _updp(b0, y10, mul1, add1, mul2, add2, taps_a, bias_a,
+                           taps_b, bias_b, corner_mode, with_stats, fold_ok)
+    res = (b0, y10, mul1, add1, mul2, add2, taps_a, bias_a, taps_b, bias_b,
+           (ya, yb) if with_stats else None)
+    return (ya, yb, sa, sb), res
+
+
+def _updp_bwd(corner_mode, with_stats, fold_ok, res, g):
+    (b0, y10, mul1, add1, mul2, add2, taps_a, bias_a, taps_b, bias_b,
+     ys) = res
+    ga, gb, gsa, gsb = g
+    hp, wp = b0[0].shape[2], b0[0].shape[3]
+    h, w = 2 * hp, 2 * wp
+    B, cin = b0[0].shape[0], b0[0].shape[-1]
+    dtype = b0[0].dtype
+    couts = [taps_a.shape[-1], taps_b.shape[-1]]
+    fold = with_stats and _kernel_geff_enabled("upd", fold_ok)
+    if with_stats and not fold:
+        ga = _stats_geff(ga, ys[0], gsa)
+        gb = _stats_geff(gb, ys[1], gsb)
+    need_b = bias_a is not None or bias_b is not None
+    per_sample = 5 * h * w * (
+        19 * cin + (8 if fold else 4) * sum(couts)) * 4
+    k = _choose_k(B, per_sample, 5 * h * w)
+
+    def fold_args(specs, args):
+        if fold:
+            specs += [_block((k, 5, h, w, couts[0]))] * 4
+            specs += [_block((k, 5, h, w, couts[1]))] * 4
+            args += list(ys[0]) + list(ys[1])
+            for gs, cout in zip((gsa, gsb), couts):
+                specs.append(_acc_spec((2, cout)))
+                args.append(gs)
+        return specs, args
+
+    pair_args = (list(b0) + list(y10)
+                 + [v.reshape(1, cin).astype(jnp.float32)
+                    for v in (mul1, add1, mul2, add2)])
+    pair_specs = [_block((k, 5, hp, wp, cin))] * 8 + [_block((1, cin))] * 4
+
+    # dx kernel: conv/upsample/pad transposes + the residual-tail adjoint
+    dx_kernel = functools.partial(
+        _up_pair_dx_kernel, h=h, w=w, k=k, corner_mode=corner_mode, n_sets=2,
+        out_dtype=dtype, with_stats=fold, emit_gsum=need_b,
+    )
+    in_specs, args = fold_args(
+        [_block((k, 5, h, w, couts[0]))] * 4
+        + [_block((k, 5, h, w, couts[1]))] * 4,
+        list(ga) + list(gb),
+    )
+    in_specs += pair_specs
+    args += pair_args
+    in_specs += [_full(), _full()]
+    args += [taps_a, taps_b]
+    out_shape = [jax.ShapeDtypeStruct((B, 5, hp, wp, cin), dtype)] * 8
+    out_specs = [_block((k, 5, hp, wp, cin))] * 8
+    out_shape += [jax.ShapeDtypeStruct((1, cin), jnp.float32)] * 4
+    out_specs += [_acc_spec((1, cin))] * 4
+    if need_b:
+        for cout in couts:
+            out_shape.append(jax.ShapeDtypeStruct((1, cout), jnp.float32))
+            out_specs.append(_acc_spec((1, cout)))
+    flops = 2 * B * 5 * h * w * 4 * 7 * cin * sum(couts)
+    outs = pl.pallas_call(
+        dx_kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * dtype.itemsize * 5),
+    )(*args)
+    db0, dy10 = tuple(outs[0:4]), tuple(outs[4:8])
+    dm1 = outs[8].reshape(cin)
+    da1 = outs[9].reshape(cin)
+    dm2 = outs[10].reshape(cin)
+    da2 = outs[11].reshape(cin)
+    gsums = [o.reshape(-1) for o in outs[12:]] if need_b else None
+
+    # dtaps kernel: rebuilds the joined input from the pair residuals
+    dt_kernel = functools.partial(
+        _up_pair_dtaps_kernel, h=h, w=w, k=k, corner_mode=corner_mode,
+        n_sets=2, with_stats=fold, out_dtype=dtype,
+    )
+    in_specs, args = fold_args(
+        [_block((k, 5, h, w, couts[0]))] * 4
+        + [_block((k, 5, h, w, couts[1]))] * 4,
+        list(ga) + list(gb),
+    )
+    in_specs = pair_specs + in_specs
+    args = pair_args + args
+    out_shape = [jax.ShapeDtypeStruct((7, cin, c), jnp.float32) for c in couts]
+    out_specs = [
+        pl.BlockSpec((7, cin, c), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
+        for c in couts
+    ]
+    dta, dtb = pl.pallas_call(
+        dt_kernel,
+        grid=(B // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        **_params(flops, B * 5 * h * w * cin * 4),
+    )(*args)
+
+    dba = None if bias_a is None else gsums[0].astype(bias_a.dtype)
+    dbb = None if bias_b is None else gsums[1].astype(bias_b.dtype)
+    return (db0, dy10, dm1, da1, dm2, da2,
+            dta.astype(taps_a.dtype), dba, dtb.astype(taps_b.dtype), dbb)
+
+
+_updp.defvjp(_updp_fwd, _updp_bwd)
+
+
+def fused_up_dual_conv_pair(b0, y10, affines, taps_a, bias_a, taps_b, bias_b,
+                            corner_mode="average", with_stats=False,
+                            fold_ok=True):
+    """Phase-chain UpBlock front: previous block's residual tail + upsample
+    + both first convs, fused. b0, y10: 4-tuples of level-s phase tensors
+    (B, 5, hp, wp, C); affines: (mul1, add1, mul2, add2) fp32 (C,) — the
+    previous block's pending bn01/bn10 applies. Returns the same structure
+    as fused_up_dual_conv. The joined level-s tensor never exists in HBM."""
+    mul1, add1, mul2, add2 = affines
+    ya, yb, sa, sb = _updp(tuple(b0), tuple(y10), mul1, add1, mul2, add2,
+                           taps_a, bias_a, taps_b, bias_b, corner_mode,
+                           with_stats, fold_ok)
+    return (ya, yb, sa, sb) if with_stats else (ya, yb)
+
+
+def phase_chain_enabled() -> bool:
+    """GENICONET_PHASE_CHAIN=1: decoder UpBlocks hand (b0, y10, affines)
+    phase tuples to the next block instead of interleaving in XLA — the
+    residual tail runs as the next upd kernel's prologue (round-4 trace:
+    ~0.35 ms/step of join fusions + phase_merge at the up1->up2 boundary)."""
+    import os
+
+    return os.environ.get("GENICONET_PHASE_CHAIN", "0") == "1"
 
 
 # ------------------------------ fused_up_block ------------------------------

@@ -100,6 +100,12 @@ CONFIGS = [
     # re-probe the standalone Pallas fold kernel (round-3: -22 at the
     # 2079-era program; the program has since changed shape twice)
     ("fold_pallas", {"GENICONET_PALLAS_FOLD": "1"}),
+    # round-4j: phase chain — block-boundary joins/splits/merges absorbed
+    # into the kernels (fused_up_dual_conv_pair / fused_dual_s2_conv_split)
+    ("chain", {"GENICONET_PHASE_CHAIN": "1"}),
+    ("chain_ctrl2", {}),
+    ("chain_geff_ds2", {"GENICONET_PHASE_CHAIN": "1",
+                        "GENICONET_KERNEL_GEFF": "pcs1_front,upd,ds2"}),
 ]
 
 _BENCH = r"""
