@@ -336,7 +336,7 @@ class DownBlock(nn.Module):
                 xp[0], get_params=True
             )
             fold_ok = self.pallas_blocks is None
-            if phase_chain_enabled():
+            if phase_chain_enabled("enc"):
                 # phase chain (GENICONET_PHASE_CHAIN): the stride-2 kernel
                 # emits its outputs AS level-(s-1) phases, conv01 consumes
                 # them through the phase conv, and the residual join runs

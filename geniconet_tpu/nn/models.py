@@ -280,7 +280,7 @@ class _Decoder(nn.Module):
         # phase chain (GENICONET_PHASE_CHAIN): EVERY block hands its raw
         # phases + pending affines to the next one — the residual tails run
         # as kernel prologues and no spatial tensor exists between blocks
-        chain = self.use_pallas and phase_chain_enabled()
+        chain = self.use_pallas and phase_chain_enabled("dec")
         for k, width in enumerate(self.widths):
             x = UpBlock(
                 width, s + k, axis_name=self.axis_name, name=f"up{k}",

@@ -2272,7 +2272,7 @@ def _up_pair_dx_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype,
     dphases = _phase_pad_transpose(dpad, k, h, w, corner_mode)
     dP = _upsample_transpose(dphases, h, w)
     dx = _pad_transpose(dP, h=h, w=w, corner_mode=corner_mode, k=k)
-    dx = dx.reshape(k, 5, h // 2, 2, w // 2, 2, cin)  # fp32
+    dx = dx.reshape(k, 5, h, w, cin)  # fp32
 
     @pl.when(first)
     def _():
@@ -2281,24 +2281,24 @@ def _up_pair_dx_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype,
         dm2_ref[...] = jnp.zeros_like(dm2_ref)
         da2_ref[...] = jnp.zeros_like(da2_ref)
 
-    dm1_p = jnp.zeros((cin,), jnp.float32)
-    da1_p = jnp.zeros((cin,), jnp.float32)
-    dm2_p = jnp.zeros((cin,), jnp.float32)
+    # the tail adjoint runs on the FULL spatial grid (zero-offset layouts —
+    # Mosaic rejects multi_reductions over parity-sliced operands), and the
+    # phase cotangents de-interleave only at the final stores
+    hp, wp = h // 2, w // 2
+    a_sp = _interleave4([r[...].astype(jnp.float32) for r in b0], k, hp, wp)
+    b_sp = _interleave4([r[...].astype(jnp.float32) for r in y10], k, hp, wp)
+    pre = a_sp * mul1 + add1 + b_sp * mul2 + add2
+    dpre = dx * (pre > 0.0).astype(jnp.float32)
+    dm1_ref[...] += jnp.sum(dpre * a_sp, axis=(0, 1, 2, 3)).reshape(1, cin)
+    da_sum = jnp.sum(dpre, axis=(0, 1, 2, 3)).reshape(1, cin)
+    da1_ref[...] += da_sum
+    dm2_ref[...] += jnp.sum(dpre * b_sp, axis=(0, 1, 2, 3)).reshape(1, cin)
+    da2_ref[...] += da_sum  # Σdpre is shared by both affines
+    dar = (dpre * mul1).astype(out_dtype).reshape(k, 5, hp, 2, wp, 2, cin)
+    dbr = (dpre * mul2).astype(out_dtype).reshape(k, 5, hp, 2, wp, 2, cin)
     for p in range(4):
-        a32 = b0[p][...].astype(jnp.float32)
-        b32 = y10[p][...].astype(jnp.float32)
-        pre = a32 * mul1 + add1 + b32 * mul2 + add2
-        dxp = dx[:, :, :, p >> 1, :, p & 1, :]
-        dpre = dxp * (pre > 0.0).astype(jnp.float32)
-        db0[p][...] = (dpre * mul1).astype(out_dtype)
-        dy10[p][...] = (dpre * mul2).astype(out_dtype)
-        dm1_p += jnp.sum(dpre * a32, axis=(0, 1, 2, 3))
-        da1_p += jnp.sum(dpre, axis=(0, 1, 2, 3))
-        dm2_p += jnp.sum(dpre * b32, axis=(0, 1, 2, 3))
-    dm1_ref[...] += dm1_p.reshape(1, cin)
-    da1_ref[...] += da1_p.reshape(1, cin)
-    dm2_ref[...] += dm2_p.reshape(1, cin)
-    da2_ref[...] += da1_p.reshape(1, cin)  # Σdpre is shared by both affines
+        db0[p][...] = dar[:, :, :, p >> 1, :, p & 1, :]
+        dy10[p][...] = dbr[:, :, :, p >> 1, :, p & 1, :]
 
 
 def _up_pair_dtaps_kernel(*refs, h, w, k, corner_mode, n_sets, out_dtype,
@@ -2495,14 +2495,18 @@ def fused_up_dual_conv_pair(b0, y10, affines, taps_a, bias_a, taps_b, bias_b,
     return (ya, yb, sa, sb) if with_stats else (ya, yb)
 
 
-def phase_chain_enabled() -> bool:
-    """GENICONET_PHASE_CHAIN=1: decoder UpBlocks hand (b0, y10, affines)
-    phase tuples to the next block instead of interleaving in XLA — the
-    residual tail runs as the next upd kernel's prologue (round-4 trace:
-    ~0.35 ms/step of join fusions + phase_merge at the up1->up2 boundary)."""
+def phase_chain_enabled(part: str = "dec") -> bool:
+    """GENICONET_PHASE_CHAIN: '1' chains both halves, 'dec' only the
+    decoder UpBlocks (pair-input upd), 'enc' only the encoder DownBlocks
+    (phase-split ds2). Hardware verdict (env_sweep round-4j): the combined
+    chain ran 1714 vs 2203 control — the in-VMEM parity reshuffles cost
+    more than the XLA boundary glue they replace on this toolchain — so
+    the default is OFF; the granular values exist to attribute the
+    regression per half."""
     import os
 
-    return os.environ.get("GENICONET_PHASE_CHAIN", "0") == "1"
+    v = os.environ.get("GENICONET_PHASE_CHAIN", "0")
+    return v == "1" or v == part
 
 
 # ------------------------------ fused_up_block ------------------------------

@@ -101,11 +101,13 @@ CONFIGS = [
     # 2079-era program; the program has since changed shape twice)
     ("fold_pallas", {"GENICONET_PALLAS_FOLD": "1"}),
     # round-4j: phase chain — block-boundary joins/splits/merges absorbed
-    # into the kernels (fused_up_dual_conv_pair / fused_dual_s2_conv_split)
+    # into the kernels (fused_up_dual_conv_pair / fused_dual_s2_conv_split).
+    # First combined probe (with the ds2 fold): 1714 vs 2203 control — the
+    # regression is ~4.7 ms/step, far larger than the ~1.0 ms of boundary
+    # glue it removes. Attribute per half:
+    ("chain_dec", {"GENICONET_PHASE_CHAIN": "dec"}),
+    ("chain_enc", {"GENICONET_PHASE_CHAIN": "enc"}),
     ("chain", {"GENICONET_PHASE_CHAIN": "1"}),
-    ("chain_ctrl2", {}),
-    ("chain_geff_ds2", {"GENICONET_PHASE_CHAIN": "1",
-                        "GENICONET_KERNEL_GEFF": "pcs1_front,upd,ds2"}),
 ]
 
 _BENCH = r"""
