@@ -108,6 +108,16 @@ CONFIGS = [
     ("chain_dec", {"GENICONET_PHASE_CHAIN": "dec"}),
     ("chain_enc", {"GENICONET_PHASE_CHAIN": "enc"}),
     ("chain", {"GENICONET_PHASE_CHAIN": "1"}),
+    # round-4k: stack the individually-noise-positive fold sites (each
+    # measured +0..+19 alone; pcs1_up0/up1 and family-wide crash)
+    ("fold_stack", {"GENICONET_KERNEL_GEFF": "pcs1_front,upd,pcs1_up2,ds2"}),
+    # round-4k: XLA scheduling knobs — the remaining glue fusions run at
+    # ~46% of HBM bandwidth (fusion.29 in the round-4 trace); a larger
+    # scoped-vmem budget sometimes changes kLoop fusion tiling, and the
+    # latency-hiding scheduler can overlap fusion DMA with custom calls
+    ("xla_vmem64", {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=65536"}),
+    ("xla_lhs", {"XLA_FLAGS":
+                 "--xla_latency_hiding_scheduler_rerun=2"}),
 ]
 
 _BENCH = r"""
