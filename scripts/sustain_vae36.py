@@ -82,25 +82,38 @@ def main():
         hb.append({"t": time.time(), "steps": steps,
                    "meshes_per_s": round(mps, 1), "loss": round(loss, 5)})
         print(f"[sustain] {hb[-1]}", flush=True)
-    wall = time.time() - t0
+        # rewrite the artifact after EVERY window so an interrupted run
+        # still leaves evidence of everything sustained so far
+        _write(a, time.time() - t0, steps, hb, done=False)
+    _write(a, time.time() - t0, steps, hb, done=True)
+
+
+def _write(a, wall, steps, hb, done):
+    import json
+    import os
+
     meshes = steps * a.batch_size
     out = {
         "minutes": round(wall / 60, 2),
         "steps": steps,
         "meshes": meshes,
-        "meshes_per_s_sustained": round(meshes / wall, 1),
+        "meshes_per_s_sustained": round(meshes / max(wall, 1e-9), 1),
         "final_loss": hb[-1]["loss"] if hb else None,
         "crashes": 0,
+        "complete": done,
         "config": "ico2ico_vae s5 bs36 bf16 split-step v2 (all blocks "
-                  "fused, table-route loss), device-resident gather steps",
+                  "fused, grid-stencil loss + scatter-free loss backwards "
+                  "— the gt_split_v2 default), device-resident gather steps",
         "heartbeats": hb,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "artifacts", "sustain_vae36.json")
+        os.path.abspath(__file__))), "artifacts", "sustain_vae36_gt.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(f"[sustain] DONE {out['meshes']} meshes in {out['minutes']} min "
-          f"({out['meshes_per_s_sustained']} meshes/s sustained)", flush=True)
+    if done:
+        print(f"[sustain] DONE {out['meshes']} meshes in {out['minutes']} "
+              f"min ({out['meshes_per_s_sustained']} meshes/s sustained)",
+              flush=True)
 
 
 if __name__ == "__main__":

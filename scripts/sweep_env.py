@@ -118,6 +118,17 @@ CONFIGS = [
     ("xla_vmem64", {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=65536"}),
     ("xla_lhs", {"XLA_FLAGS":
                  "--xla_latency_hiding_scheduler_rerun=2"}),
+    # round-4l: fold_up2_headfix (2164) measured BELOW default (2196) —
+    # the up2 fold flipped negative after the head-backward fix, so probe
+    # the ds2-only increment and the explicit default-GEFF control side
+    # by side before touching defaults
+    ("fold_ds2_only", {"GENICONET_KERNEL_GEFF": "pcs1_front,upd,ds2"}),
+    # latency-hiding scheduler main switch (xla_lhs above only reruns it)
+    ("xla_lhs_on", {"XLA_FLAGS":
+                    "--xla_tpu_enable_latency_hiding_scheduler=true"}),
+    # k-budget re-probe at the round-4 program shape (grid-stencil loss +
+    # headfix changed inter-kernel pipelining since the round-3 -28 result)
+    ("kb18", {"GENICONET_K_BUDGET_MB": "18"}),
 ]
 
 _BENCH = r"""
