@@ -13,14 +13,32 @@ device_put. The reference publishes no numbers (BASELINE.md), so
 `vs_baseline` is measured against this framework's first recorded fp32/XLA
 measurement (round-1 anchor below); the ≥5x north-star target against that
 anchor is 2455.95 meshes/s (`target_value`).
+
+Crash resilience (round-5): the tunneled TPU backend raises transient
+INTERNAL / FAILED_PRECONDITION errors under sustained load (ROADMAP "Known
+issue"; BENCH_r04 died this way with `parsed: null`). The benchmark is now
+an orchestrator: each phase runs in a SUBPROCESS that streams a
+`BENCH_SECTION {json}` line per completed measurement; a backend crash only
+kills that subprocess, after which the orchestrator waits for the backend to
+become claimable again (the same recovery machinery as scripts/soak.py) and
+retries the phase — already-compiled programs hit the persistent compile
+cache on retry. A cold first compile (>150 s) triggers one extra warm re-run
+so the reported numbers aren't polluted by one-time cache seeding. The final
+JSON line is assembled from every section that ever completed, so a
+transient can degrade the result but never zero it.
+
+Standalone phase runs (what the orchestrator shells out to):
+    python bench.py --phase train    # compile + step/epoch/scan throughput
+    python bench.py --phase decode   # single-mesh decode latency suite
 """
 
+import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 # Round-1 anchor (meshes/sec/chip, ico2ico I5 train bs=36, fp32), measured
@@ -28,14 +46,26 @@ import numpy as np
 BASELINE_MESHES_PER_SEC = 491.19  # round-1 fp32/XLA anchor (see BASELINE.md)
 TARGET_5X = 5 * BASELINE_MESHES_PER_SEC  # BASELINE.json north star
 
+# transient backend error classes that warrant retry, not failure
+_TRANSIENT = ("INTERNAL", "FAILED_PRECONDITION", "UNAVAILABLE",
+              "DEADLINE_EXCEEDED")
+
+
+def _section(d):
+    """Emit one completed measurement as a machine-readable stdout line.
+
+    The orchestrator collects these from every attempt — including attempts
+    that later crash — so a transient mid-phase failure never discards the
+    measurements that already finished.
+    """
+    print("BENCH_SECTION " + json.dumps(d), flush=True)
+
 
 def build():
     from geniconet_tpu.data.datasets import synthetic_dataset
     from geniconet_tpu.data.pipeline import Batches
     from geniconet_tpu.train.config import Config
     from geniconet_tpu.train.trainer import Trainer
-
-    import os
 
     cfg = Config()
     # profiling hook (scripts/profile_step.py): trace a different model
@@ -73,9 +103,6 @@ def wait_for_backend(max_wait_s=None):
     anyway (the behavior without this guard) so a mis-detecting probe can
     never turn a working benchmark into a no-op.
     """
-    import os
-    import subprocess
-
     if max_wait_s is None:
         max_wait_s = float(os.environ.get("GENICONET_BENCH_WAIT_S", "1800"))
     probe = "import jax; jax.devices(); print('BACKEND_OK')"
@@ -104,11 +131,15 @@ def wait_for_backend(max_wait_s=None):
         time.sleep(30)
 
 
-def main():
+def phase_train():
+    """Compile + train-step throughput: per-step dispatch, epoch loop,
+    single-dispatch scan (the headline `value`)."""
+    import jax
+    import jax.numpy as jnp
+
     from geniconet_tpu import enable_compilation_cache
 
     enable_compilation_cache()
-    wait_for_backend()
     print(f"devices: {jax.devices()}", file=sys.stderr)
     trainer, state, batches = build()
     tables = trainer.prepared_tables(batches)
@@ -122,6 +153,7 @@ def main():
     float(jax.device_get(metrics["total"]))
     compile_s = time.perf_counter() - t0
     print(f"compile+first step: {compile_s:.1f}s", file=sys.stderr)
+    _section({"compile_first_step_s": round(compile_s, 1)})
 
     # (a1) resident-batch, per-step dispatch: a pipelined window of the real
     # hot step (in-jit gather from pre-split/pre-packed HBM tables), hard
@@ -142,6 +174,7 @@ def main():
         f"{resident_per_step:.1f} meshes/s (loss {loss:.5f})",
         file=sys.stderr,
     )
+    _section({"value_per_step_dispatch": round(resident_per_step, 2)})
 
     # (b) epoch loop: the real batching pipeline (trainer.train_epoch). The
     # dataset is under the device-resident budget, so the batch gather (from
@@ -174,6 +207,7 @@ def main():
         f"{dt:.3f}s -> {epoch_loop:.1f} meshes/s (loss {loss:.5f})",
         file=sys.stderr,
     )
+    _section({"epoch_loop_value": round(epoch_loop, 2)})
 
     # (a2) resident-batch, single-dispatch: the SAME training-step program
     # the epoch loop scans (one unrolled step + lax.scan), driven with a
@@ -184,11 +218,9 @@ def main():
     # per-dispatch round trip (decode_sync_rtt_ms below, ~25 ms RTT class)
     # is a measurement artifact, not framework cost. The per-step-dispatch
     # number above is reported alongside as value_per_step_dispatch.
-    import numpy as _np
-
     nb = len(batches)  # same plan shape as the epoch program: cache hit
-    order = _np.broadcast_to(_np.asarray(idx), (nb,) + _np.asarray(idx).shape)
-    wts = _np.broadcast_to(_np.asarray(wt0), (nb,) + _np.asarray(wt0).shape)
+    order = np.broadcast_to(np.asarray(idx), (nb,) + np.asarray(idx).shape)
+    wts = np.broadcast_to(np.asarray(wt0), (nb,) + np.asarray(wt0).shape)
     rtabs = getattr(trainer, "_gather_auto_tables", None) or tables
     # warm (program already compiled by the epoch loop; first call settles
     # state layouts), then time 3 windows
@@ -208,11 +240,20 @@ def main():
         f"{dt:.3f}s -> {resident:.1f} meshes/s (loss {loss:.5f})",
         file=sys.stderr,
     )
+    _section({"value_scan": round(resident, 2)})
+    print("PHASE_DONE", flush=True)
 
-    # (c) p50 single-mesh decode latency — the app's generative path
-    # (BASELINE.json metric #2). Latency = dispatch + device + sync per call.
-    import numpy as _np
 
+def phase_decode():
+    """(c) p50 single-mesh decode latency — the app's generative path
+    (BASELINE.json metric #2). Latency = dispatch + device + sync per call."""
+    import jax
+    import jax.numpy as jnp
+
+    from geniconet_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+    trainer, state, _ = build()
     model = trainer.model
     variables = jax.device_put(
         {"params": state.params, "batch_stats": state.batch_stats}
@@ -253,16 +294,16 @@ def main():
     lat = []
     for _ in range(100):
         t0 = time.perf_counter()
-        jax.device_get(_decode_q(variables, z)).astype(_np.float32)
+        jax.device_get(_decode_q(variables, z)).astype(np.float32)
         lat.append(time.perf_counter() - t0)
-    p50_ms = float(_np.median(lat) * 1e3)
+    p50_ms = float(np.median(lat) * 1e3)
     # fp32 transfer (GENICONET_DECODE_QUANT=0 app path) for comparison
     lat = []
     for _ in range(100):
         t0 = time.perf_counter()
         jax.device_get(_decode(variables, z))
         lat.append(time.perf_counter() - t0)
-    p50_f32_ms = float(_np.median(lat) * 1e3)
+    p50_f32_ms = float(np.median(lat) * 1e3)
     # (c2) the sync round trip alone: device_get of an already-computed tiny
     # buffer. On a local host this is ~0; over the tunnel it is the network
     # RTT that dominates (c1).
@@ -273,7 +314,7 @@ def main():
         t0 = time.perf_counter()
         jax.device_get(tiny)
         rtt.append(time.perf_counter() - t0)
-    rtt_ms = float(_np.median(rtt) * 1e3)
+    rtt_ms = float(np.median(rtt) * 1e3)
     # (c3) device+dispatch time per decode: 200 chained calls, one sync
     # (no RTT subtraction — at 200 calls the single end sync is <1% and
     # the subtraction was the noise source across bench runs)
@@ -289,42 +330,169 @@ def main():
         f"ms/decode pipelined)",
         file=sys.stderr,
     )
+    _section({
+        "p50_decode_ms": round(p50_ms, 3),
+        "p50_decode_f32_ms": round(p50_f32_ms, 3),
+        "decode_sync_rtt_ms": round(rtt_ms, 3),
+        "decode_device_ms": round(dev_ms, 3),
+    })
+    print("PHASE_DONE", flush=True)
 
-    vs = resident / BASELINE_MESHES_PER_SEC
-    print(
-        json.dumps(
-            {
-                "metric": "meshes/sec/chip train (ico2ico I5, bs36)",
-                "value": round(resident, 2),
-                "unit": "meshes/s",
-                "vs_baseline": round(vs, 3),
-                "epoch_loop_value": round(epoch_loop, 2),
-                "value_per_step_dispatch": round(resident_per_step, 2),
-                "target_value": round(TARGET_5X, 2),
-                "p50_decode_ms": round(p50_ms, 3),
-                "p50_decode_f32_ms": round(p50_f32_ms, 3),
-                "decode_sync_rtt_ms": round(rtt_ms, 3),
-                "decode_device_ms": round(dev_ms, 3),
-                "compile_first_step_s": round(compile_s, 1),
-                "note": "value=resident-batch step throughput through the "
-                        "single-dispatch scanned step program (one batch "
-                        "re-fed; dispatch amortized — this host reaches the "
-                        "chip via a network tunnel whose per-dispatch RTT is "
-                        "an environment artifact, reported separately as "
-                        "value_per_step_dispatch); epoch_loop_value = full "
-                        "epoch loop with the device-resident gather pipeline "
-                        "(dataset lives in HBM; only batch indices cross the "
-                        "host boundary); target_value = 5x round-1 fp32 "
-                        "anchor (BASELINE.md); p50_decode_ms = single-mesh "
-                        "decode latency incl. host sync on the app's int16 "
-                        "fixed-point transfer (tanh-bounded output, "
-                        "resolution 3e-5 — p50_decode_f32_ms is the fp32 "
-                        "transfer); compile_first_step_s is warm-cache when the "
-                        "persistent compile cache is seeded (environment.md)",
-            }
-        )
-    )
+
+def _parse_phase_output(out):
+    """Collect BENCH_SECTION lines (and the PHASE_DONE marker) from a phase
+    subprocess's stdout — tolerant of crashes mid-stream."""
+    done = False
+    fresh = {}
+    for line in out.splitlines():
+        if line.startswith("BENCH_SECTION "):
+            try:
+                fresh.update(json.loads(line[len("BENCH_SECTION "):]))
+            except json.JSONDecodeError:
+                pass
+        elif line.strip() == "PHASE_DONE":
+            done = True
+    return fresh, done
+
+
+def _headline_value(merged):
+    """Pick the headline `value` with graceful degradation when a section
+    never completed (scan > epoch loop > per-step dispatch)."""
+    for key, src in (
+        ("value_scan", "single-dispatch scan"),
+        ("epoch_loop_value", "epoch loop (scan section missing — see stderr)"),
+        ("value_per_step_dispatch",
+         "per-step dispatch (scan+epoch sections missing — see stderr)"),
+    ):
+        if merged.get(key) is not None:
+            return merged[key], src
+    return None, "no section completed"
+
+
+def _run_phase(phase, merged, deadline, retries=3, warm_reruns=0):
+    """Run one phase in a subprocess, retrying after transient backend
+    crashes; fold every completed BENCH_SECTION into `merged`.
+
+    Returns the number of failed attempts (for the transparency counter).
+    A killed/crashed attempt still contributes the sections it completed —
+    the retry only exists to fill in what's missing, with the persistent
+    compile cache making re-compiles cheap.
+    """
+    failures = 0
+    attempt = 0
+    while attempt < retries:
+        attempt += 1
+        budget = deadline - time.time()
+        if budget < 120:
+            print(f"bench: deadline reached before {phase} attempt "
+                  f"{attempt}; keeping partial results", file=sys.stderr)
+            break
+        wait_for_backend(min(float(os.environ.get(
+            "GENICONET_BENCH_WAIT_S", "1800")), max(budget - 120, 60)))
+        print(f"bench: phase {phase} attempt {attempt}", file=sys.stderr)
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", phase],
+                capture_output=True, text=True,
+                timeout=min(float(os.environ.get(
+                    "GENICONET_BENCH_PHASE_TIMEOUT_S", "2400")), budget),
+            )
+            out, err, rc = p.stdout, p.stderr, p.returncode
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"").decode() if isinstance(
+                e.stdout, bytes) else (e.stdout or "")
+            err = (e.stderr or b"").decode() if isinstance(
+                e.stderr, bytes) else (e.stderr or "")
+            rc = -1
+            err += "\n[bench] phase timed out"
+        # surface the phase's own log for the driver tail
+        sys.stderr.write(err)
+        fresh, done = _parse_phase_output(out)
+        merged.update(fresh)
+        if done and rc == 0:
+            # cold-cache seeding run: the first compile was cold, so the
+            # throughput numbers rode a freshly-seeded cache — re-run once
+            # warm and let the warm numbers overwrite (VERDICT r4 #1)
+            cold = (phase == "train" and warm_reruns > 0
+                    and fresh.get("compile_first_step_s", 0) > 150
+                    and deadline - time.time() > 600)
+            if cold:
+                print(f"bench: cold compile "
+                      f"({fresh['compile_first_step_s']}s) — re-running "
+                      f"{phase} warm", file=sys.stderr)
+                merged["cold_compile_s"] = fresh["compile_first_step_s"]
+                warm_reruns -= 1
+                continue
+            return failures
+        failures += 1
+        print(f"bench: phase {phase} attempt {attempt} failed (rc={rc}); "
+              f"sections kept: {sorted(fresh)}", file=sys.stderr)
+        time.sleep(60)
+    return failures
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["train", "decode"], default=None)
+    a = ap.parse_args()
+    if a.phase == "train":
+        return phase_train()
+    if a.phase == "decode":
+        return phase_decode()
+
+    deadline = time.time() + float(
+        os.environ.get("GENICONET_BENCH_DEADLINE_S", "5400"))
+    merged = {}
+    recoveries = 0
+    try:
+        recoveries += _run_phase("train", merged, deadline, warm_reruns=1)
+        recoveries += _run_phase("decode", merged, deadline)
+    except Exception as e:  # noqa: BLE001 — the JSON line must still print
+        print(f"bench: orchestrator error: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # headline: single-dispatch scan; degrade to epoch loop, then per-step
+    # dispatch, if a phase never completed that section
+    value, value_src = _headline_value(merged)
+
+    out = {
+        "metric": "meshes/sec/chip train (ico2ico I5, bs36)",
+        "value": value,
+        "unit": "meshes/s",
+        "vs_baseline": (round(value / BASELINE_MESHES_PER_SEC, 3)
+                        if value else None),
+        "epoch_loop_value": merged.get("epoch_loop_value"),
+        "value_per_step_dispatch": merged.get("value_per_step_dispatch"),
+        "target_value": round(TARGET_5X, 2),
+        "p50_decode_ms": merged.get("p50_decode_ms"),
+        "p50_decode_f32_ms": merged.get("p50_decode_f32_ms"),
+        "decode_sync_rtt_ms": merged.get("decode_sync_rtt_ms"),
+        "decode_device_ms": merged.get("decode_device_ms"),
+        "compile_first_step_s": merged.get("compile_first_step_s"),
+        "transient_failures_recovered": recoveries,
+        "note": "value=resident-batch step throughput through the "
+                f"{value_src} step program (one batch re-fed; dispatch "
+                "amortized — this host reaches the chip via a network "
+                "tunnel whose per-dispatch RTT is an environment artifact, "
+                "reported separately as value_per_step_dispatch); "
+                "epoch_loop_value = full epoch loop with the "
+                "device-resident gather pipeline (dataset lives in HBM; "
+                "only batch indices cross the host boundary); target_value "
+                "= 5x round-1 fp32 anchor (BASELINE.md); p50_decode_ms = "
+                "single-mesh decode latency incl. host sync on the app's "
+                "int16 fixed-point transfer (tanh-bounded output, "
+                "resolution 3e-5 — p50_decode_f32_ms is the fp32 "
+                "transfer); compile_first_step_s is warm-cache when the "
+                "persistent compile cache is seeded (a cold first compile "
+                "triggers an automatic warm re-run; cold_compile_s records "
+                "it); phases run in crash-isolated subprocesses with "
+                "backend-recovery retries (ROADMAP known-issue class)",
+    }
+    if "cold_compile_s" in merged:
+        out["cold_compile_s"] = merged["cold_compile_s"]
+    print(json.dumps(out))
+    return 0 if value is not None else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

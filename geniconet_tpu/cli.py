@@ -282,11 +282,61 @@ def experiment_sample(cfg: Config):
     return out_dir
 
 
+def import_pt_checkpoint(cfg: Config) -> str:
+    """Convert a reference PyTorch ``.pt`` checkpoint (``--load_pt``) into a
+    native ``.ckpt`` under ``<logDir>/savedModel`` so every downstream
+    process (train resume, test, encode, decode, sample, app) finds it
+    through the normal EB resolution — the drop-in-consumer path for the
+    reference's published weights (reference run.py:330-340 save format;
+    torch-free reader in train/pt_import.py)."""
+    import flax.serialization
+
+    from geniconet_tpu.geometry import ico as ico_geom
+    from geniconet_tpu.train.pt_import import load_reference_checkpoint
+
+    imported = load_reference_checkpoint(cfg.load_pt, cfg.model.name)
+    H, W = ico_geom.grid_shape(cfg.model.subdivisions)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(
+        np.zeros((1, H, W, 3), np.float32), seed=cfg.train.seed)
+    # shape/type-check the imported trees against the live model's
+    params = flax.serialization.from_state_dict(
+        jax.device_get(state.params), imported["params"])
+    bstats = flax.serialization.from_state_dict(
+        jax.device_get(state.batch_stats), imported["batch_stats"])
+    misc = None
+    raw_misc = imported.get("misc")
+    if raw_misc:  # reference run.py:274-277: [{'trn_mean': .., 'trn_logvar': ..}]
+        entry = raw_misc[0] if isinstance(raw_misc, (list, tuple)) else raw_misc
+        if isinstance(entry, dict) and "trn_mean" in entry:
+            misc = {"trn_mean": np.asarray(entry["trn_mean"], np.float32),
+                    "trn_logvar": np.asarray(entry["trn_logvar"], np.float32)}
+    epoch = imported["epoch"]
+    blob = {
+        "params": params,
+        "batch_stats": bstats,
+        "opt_state": jax.device_get(state.opt_state),  # fresh Adam moments
+        "step": 0,
+        "epoch": epoch,
+        "loss": imported["loss"] if imported["loss"] is not None else np.inf,
+        "best_loss": imported["loss"] if imported["loss"] is not None else np.inf,
+    }
+    if misc is not None:
+        blob["misc"] = misc
+    ckpt_dir = os.path.join(cfg.model_log_dir(), "savedModel")
+    path = ckpt.checkpoint_path(ckpt_dir, cfg.model.name, epoch, best=True)
+    ckpt.save_checkpoint(path, blob)
+    print(f"[load_pt] imported {cfg.load_pt} -> {path} (epoch {epoch})")
+    return path
+
+
 def main(argv=None):
     from geniconet_tpu import enable_compilation_cache
 
     enable_compilation_cache()
     cfg = parse_args(argv)
+    if cfg.load_pt:
+        import_pt_checkpoint(cfg)
     if cfg.process == "train":
         experiment_train(cfg)
     elif cfg.process == "encode":

@@ -121,6 +121,9 @@ class Config:
     n_samples: int = 8      # sample process: meshes drawn from checkpoint misc
     out_dir: str = ""
     enc_dir: str = ""       # decode process: directory of latent .npz files
+    # reference .pt checkpoint to convert into <logDir>/savedModel before the
+    # process runs (torch-free importer, train/pt_import.py)
+    load_pt: str = ""
     # optional per-term loss-factor overrides (None -> per-model defaults,
     # reference run.py:689-696)
     f_pos: Optional[float] = None
@@ -224,6 +227,10 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--train_epoch", type=int, default=None)
     p.add_argument("--test_epoch", type=str, default=None)
     p.add_argument("--load_epoch", type=int, default=None)
+    p.add_argument("--load_pt", type=str, default="",
+                   help="import a reference PyTorch .pt checkpoint (e.g. "
+                        "ico2ico_EB696.pt) into <logDir>/savedModel as a "
+                        "native .ckpt before running the process")
     p.add_argument("--load_pretrained_model", action="store_true")
     p.add_argument("--subdivision", type=int, default=5)
     p.add_argument("--dataPthLvl", type=int, default=2)
@@ -250,6 +257,7 @@ def parse_args(argv=None) -> Config:
     cfg.log_dir = a.logDir
     cfg.out_dir = a.outDir  # empty -> defaults to <model_log_dir>/data at use site
     cfg.enc_dir = a.encDir
+    cfg.load_pt = a.load_pt
     cfg.data.data_dir = a.dataDir
     cfg.data.layout_level = a.dataPthLvl
     cfg.data.synthetic = a.synthetic

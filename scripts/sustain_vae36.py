@@ -1,18 +1,29 @@
 """Sustained-throughput run of the shipping VAE bs36 fast path.
 
-Drives EXACTLY the program the vae36 sweep validated (split-step v2,
-all blocks fused, table-route loss, bs36, device-resident gather steps
-via `Trainer.gather_train_step`) for --minutes, shuffling the batch
-index each step, with heartbeats every ~15 s. This is the sustained
-evidence for the split-step default; unlike scripts/soak.py it does NOT
-interleave the per-epoch validation/checkpoint programs — soak.py at
-bs36/bs40 adds programs that re-cross the tunneled backend's
-program-size crash threshold (round-4 log: FAILED_PRECONDITION/INTERNAL
-at first step), which is exactly the fragility the split-step default
-avoids by keeping every dispatched program under it.
+Drives EXACTLY the shipping default program (split-step v2: all blocks
+fused across three dispatched programs, grid-stencil loss with the
+scatter-free backwards, bs36, device-resident gather steps via
+`Trainer.gather_train_step`) for --minutes, shuffling the batch index
+each step, with a heartbeat every 400 steps (~10 s at 25 ms/step). This
+is the sustained evidence for the split-step default; unlike
+scripts/soak.py it does NOT interleave the per-epoch
+validation/checkpoint programs — soak.py at bs36/bs40 adds programs
+that re-cross the tunneled backend's program-size crash threshold
+(round-4 log: FAILED_PRECONDITION/INTERNAL at first step), which is
+exactly the fragility the split-step default avoids by keeping every
+dispatched program under it.
 
-Usage:  GENICONET_VAE_SPLIT=1 python scripts/sustain_vae36.py --minutes 30
-Writes artifacts/sustain_vae36.json + heartbeat lines on stdout.
+Transient backend crashes (INTERNAL / FAILED_PRECONDITION — the ROADMAP
+known-issue class) are caught, counted, and recovered from by rebuilding
+the trainer in-process (same machinery as scripts/soak.py); the artifact
+records the true crash count. While the run is in flight the artifact's
+"crashes" field reflects crashes observed SO FAR and "complete" is
+false; only the final write asserts the run finished.
+
+Usage:  python scripts/sustain_vae36.py --minutes 60
+Writes artifacts/sustain_vae36_gt.json (rewritten after every heartbeat
+window so an interrupted run still leaves evidence) + heartbeat lines
+on stdout.
 """
 
 import argparse
@@ -22,6 +33,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "artifacts", "sustain_vae36_gt.json")
+
+_TRANSIENT = ("INTERNAL", "FAILED_PRECONDITION", "UNAVAILABLE",
+              "DEADLINE_EXCEEDED")
 
 
 def main():
@@ -49,16 +66,27 @@ def main():
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.use_pallas = True
     cfg.train.log_grad_freq = 0
-    tr = Trainer(cfg)
-    ds = synthetic_dataset(5, 180, seed=0)
-    state = tr.init_state(ds.inputs[:1], seed=0)
-    batches = Batches(ds, a.batch_size, shuffle=False)
-    tables = tr.prepared_tables(batches)
-    idx0, wt = next(iter(batches.epoch_indices()))
-    rng = np.random.RandomState(0)
-    n = len(ds)
 
-    print(f"devices: {jax.devices()}  split={tr._split_step}", flush=True)
+    def build():
+        tr = Trainer(cfg)
+        ds = synthetic_dataset(5, 180, seed=0)
+        st = tr.init_state(ds.inputs[:1], seed=0)
+        batches = Batches(ds, a.batch_size, shuffle=False)
+        tabs = tr.prepared_tables(batches)
+        i0, w0 = next(iter(batches.epoch_indices()))
+        return tr, st, tabs, i0, w0, len(ds)
+
+    tr, state, tables, idx0, wt, n = build()
+    rng = np.random.RandomState(0)
+
+    # the actual mode, recorded into the artifact (not assumed): the
+    # relevant env knobs plus the trainer's resolved split-step decision
+    mode = {
+        "split_step": bool(getattr(tr, "_split_step", False)),
+        "env": {k: v for k, v in os.environ.items()
+                if k.startswith("GENICONET_") and k != "GENICONET_JAX_CACHE"},
+    }
+    print(f"devices: {jax.devices()}  mode={mode}", flush=True)
     tables, (state, m, _, _) = tr.gather_train_step(state, tables, idx0, wt, 0)
     loss0 = float(jax.device_get(m["total"]))
     print(f"compiled; first loss {loss0:.5f}", flush=True)
@@ -66,32 +94,50 @@ def main():
     t_end = time.time() + a.minutes * 60
     t0 = time.time()
     steps = 0
-    window = 400  # ~13 s per window at 33 ms/step
+    window = 400  # ~10 s per window at 25 ms/step
     hb = []
+    crashes = 0
     while time.time() < t_end:
-        tw = time.perf_counter()
-        for _ in range(window):
-            idx = jax.numpy.asarray(
-                rng.randint(0, n, size=a.batch_size), jax.numpy.int32)
-            tables, (state, m, _, _) = tr.gather_train_step(
-                state, tables, idx, wt, 0)
-        loss = float(jax.device_get(m["total"]))  # hard sync
-        dt = time.perf_counter() - tw
-        steps += window
-        mps = a.batch_size * window / dt
-        hb.append({"t": time.time(), "steps": steps,
-                   "meshes_per_s": round(mps, 1), "loss": round(loss, 5)})
-        print(f"[sustain] {hb[-1]}", flush=True)
-        # rewrite the artifact after EVERY window so an interrupted run
-        # still leaves evidence of everything sustained so far
-        _write(a, time.time() - t0, steps, hb, done=False)
-    _write(a, time.time() - t0, steps, hb, done=True)
+        try:
+            tw = time.perf_counter()
+            for _ in range(window):
+                idx = jax.numpy.asarray(
+                    rng.randint(0, n, size=a.batch_size), jax.numpy.int32)
+                tables, (state, m, _, _) = tr.gather_train_step(
+                    state, tables, idx, wt, 0)
+            loss = float(jax.device_get(m["total"]))  # hard sync
+            dt = time.perf_counter() - tw
+            steps += window
+            mps = a.batch_size * window / dt
+            hb.append({"t": time.time(), "steps": steps,
+                       "meshes_per_s": round(mps, 1),
+                       "loss": round(loss, 5)})
+            print(f"[sustain] {hb[-1]}", flush=True)
+            # rewrite the artifact after EVERY window so an interrupted run
+            # still leaves evidence of everything sustained so far
+            _write(a, time.time() - t0, steps, hb, mode, crashes, done=False)
+        except Exception as e:  # noqa: BLE001 — transient-filtered below
+            s = f"{type(e).__name__}: {e}"
+            if not any(t in s for t in _TRANSIENT):
+                raise
+            crashes += 1
+            print(f"[sustain] transient backend error #{crashes}: {s[:200]}; "
+                  f"rebuilding + resuming", flush=True)
+            _write(a, time.time() - t0, steps, hb, mode, crashes, done=False)
+            time.sleep(120)
+            for _ in range(20):
+                try:
+                    tr, state, tables, idx0, wt, n = build()
+                    tables, (state, m, _, _) = tr.gather_train_step(
+                        state, tables, idx0, wt, 0)
+                    float(jax.device_get(m["total"]))
+                    break
+                except Exception:  # backend still wedged
+                    time.sleep(60)
+    _write(a, time.time() - t0, steps, hb, mode, crashes, done=True)
 
 
-def _write(a, wall, steps, hb, done):
-    import json
-    import os
-
+def _write(a, wall, steps, hb, mode, crashes, done):
     meshes = steps * a.batch_size
     out = {
         "minutes": round(wall / 60, 2),
@@ -99,20 +145,22 @@ def _write(a, wall, steps, hb, done):
         "meshes": meshes,
         "meshes_per_s_sustained": round(meshes / max(wall, 1e-9), 1),
         "final_loss": hb[-1]["loss"] if hb else None,
-        "crashes": 0,
+        # while in flight this is "crashes observed so far" — a run that
+        # dies mid-sustain leaves its true count, not an asserted 0
+        # (advisor round-4 #2)
+        "crashes": crashes,
         "complete": done,
-        "config": "ico2ico_vae s5 bs36 bf16 split-step v2 (all blocks "
-                  "fused, grid-stencil loss + scatter-free loss backwards "
-                  "— the gt_split_v2 default), device-resident gather steps",
+        "config": "ico2ico_vae s5 bs36 bf16, device-resident gather steps; "
+                  "mode recorded from the live trainer (see `mode`)",
+        "mode": mode,
         "heartbeats": hb,
     }
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "artifacts", "sustain_vae36_gt.json")
-    with open(path, "w") as f:
+    with open(ARTIFACT, "w") as f:
         json.dump(out, f, indent=1)
     if done:
         print(f"[sustain] DONE {out['meshes']} meshes in {out['minutes']} "
-              f"min ({out['meshes_per_s_sustained']} meshes/s sustained)",
+              f"min ({out['meshes_per_s_sustained']} meshes/s sustained, "
+              f"{crashes} transient crash(es) recovered)",
               flush=True)
 
 
