@@ -61,6 +61,25 @@ from geniconet_tpu.ops.pallas.conv_kernel import (
 )
 from geniconet_tpu.ops.phase import tap_table
 
+
+def _exp_env(name: str, default: str = "") -> str:
+    """Env read for CLOSED experimental kernel families, quarantined behind
+    the GENICONET_EXPERIMENTAL umbrella (round-5, VERDICT r4 #6).
+
+    Every family routed through here was measured conclusively negative or
+    crashing on hardware (artifacts/env_sweep.json: merged backwards and
+    phase-chain INTERNAL-crash the tunneled v5e; K2/im2col-scratch crash;
+    merged blocks 2092-2175 vs 2196 default; col-front 640; pallas-fold
+    2149; stacked GEFF folds 2127). The code and interpret-mode tests are
+    kept for attribution/re-probing on future toolchains, but the knobs are
+    inert — returning the default — unless GENICONET_EXPERIMENTAL=1 is also
+    set, so the shipping surface is the default path plus live knobs only."""
+    import os
+
+    if os.environ.get("GENICONET_EXPERIMENTAL", "0") != "1":
+        return default
+    return os.environ.get(name, default)
+
 __all__ = [
     "fused_dual_s2_conv",
     "fused_up_dual_conv",
@@ -306,7 +325,7 @@ def _k2_pack(cin: int) -> bool:
     scripts/probe_k2_micro.py measures the K=128 ceiling standalone."""
     import os
 
-    return 2 * cin <= int(os.environ.get("GENICONET_K2_MAX", "0"))
+    return 2 * cin <= int(_exp_env("GENICONET_K2_MAX", "0"))
 
 
 def _lane_packN(parts):
@@ -348,7 +367,7 @@ def _im2col_scratch(cin: int) -> bool:
     GENICONET_IM2COL_MAX=512 to route the C=64 sites here)."""
     import os
 
-    return cin >= 8 and os.environ.get("GENICONET_IM2COL_SCRATCH", "0") == "1"
+    return cin >= 8 and _exp_env("GENICONET_IM2COL_SCRATCH", "0") == "1"
 
 
 def _contract(padded, w_refs, b_refs, out_phases, h, w, k, out_dtype):
@@ -951,7 +970,7 @@ def _kernel_geff_enabled(family: str = "", allow: bool = True) -> bool:
     which is an explicit opt-in to the crash risk."""
     import os
 
-    v = os.environ.get("GENICONET_KERNEL_GEFF", "")
+    v = _exp_env("GENICONET_KERNEL_GEFF", "")
     if v.startswith("!"):
         v = v[1:]
     elif not allow:
@@ -979,7 +998,7 @@ def _merged_bwd_enabled(family: str = "") -> bool:
     hardware bisection (scripts/probe_merged_bwd.py)."""
     import os
 
-    v = os.environ.get("GENICONET_MERGED_BWD", "0")
+    v = _exp_env("GENICONET_MERGED_BWD", "0")
     if v in ("0", ""):
         return False
     if v in ("1", "all"):
@@ -1421,7 +1440,7 @@ def _stats_geff(g_group, y_group, g_st):
 
     if g_st is None:
         return tuple(g_group)
-    if os.environ.get("GENICONET_PALLAS_FOLD", "0") != "1":
+    if _exp_env("GENICONET_PALLAS_FOLD", "0") != "1":
         gs0 = g_st[0].astype(jnp.float32)
         gs1 = g_st[1].astype(jnp.float32)
         return tuple(
@@ -2505,7 +2524,7 @@ def phase_chain_enabled(part: str = "dec") -> bool:
     regression per half."""
     import os
 
-    v = os.environ.get("GENICONET_PHASE_CHAIN", "0")
+    v = _exp_env("GENICONET_PHASE_CHAIN", "0")
     return v == "1" or v == part
 
 
@@ -2771,7 +2790,7 @@ def merged_block_enabled(site: str) -> bool:
     everywhere, or a comma list of block names ('up0,up1')."""
     import os
 
-    v = os.environ.get("GENICONET_MERGED_BLOCK", "0")
+    v = _exp_env("GENICONET_MERGED_BLOCK", "0")
     if v in ("", "0"):
         return False
     if v in ("1", "all"):
@@ -3468,7 +3487,7 @@ def _phmse_choose_k(B, h, w, cin, F, fwd):
     crash under investigation (scripts/probe_phmse_micro.py)."""
     import os
 
-    v = os.environ.get("GENICONET_PHMSE_K", "")
+    v = _exp_env("GENICONET_PHMSE_K", "")
     if v:
         k = int(v)
         while B % k:

@@ -39,6 +39,36 @@ from geniconet_tpu.train.schedule import cyclic_triangular
 __all__ = ["TrainState", "Trainer", "build_model"]
 
 
+def _compiler_options() -> Optional[dict]:
+    """Optional XLA compiler options applied to every trainer jit.
+
+    ``GENICONET_COMPILER_OPTIONS="xla_tpu_scoped_vmem_limit_kib=65536,..."``
+    (comma-separated key=value). This is the probe channel for XLA backend
+    knobs: ``XLA_FLAGS`` cannot reach the tunneled backend's remote compiler
+    — the host-side absl parser even FATALs on TPU-only flags (round-5
+    sweep) — while per-jit compiler options ride the compile request.
+    """
+    spec = os.environ.get("GENICONET_COMPILER_OPTIONS", "")
+    if not spec.strip():
+        return None
+    out = {}
+    for item in spec.split(","):
+        if item.strip():
+            k, _, v = item.partition("=")
+            out[k.strip()] = v.strip()
+    return out or None
+
+
+def _jit(fun=None, **kw):
+    """jax.jit with the GENICONET_COMPILER_OPTIONS dict attached."""
+    opts = _compiler_options()
+    if opts:
+        kw.setdefault("compiler_options", opts)
+    if fun is None:
+        return lambda f: jax.jit(f, **kw)
+    return jax.jit(fun, **kw)
+
+
 def _shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
     """Version-tolerant shard_map (jax.shard_map in new releases,
     jax.experimental.shard_map.shard_map in older ones)."""
@@ -152,7 +182,11 @@ class Trainer:
             cfg.model.is_vae
             and cfg.model.use_pallas
             and cfg.train.batch_size >= 24
-            and mesh is None
+            # single chip, or 1-D data-parallel mesh (round-5: the three
+            # split programs run under shard_map with psum'd grads — see
+            # _make_split_dp_jits); 2-D meshes keep the flattened-DP
+            # monolithic route
+            and (mesh is None or tuple(mesh.axis_names) == ("data",))
             and _vae_split_mode()
             # an explicit block restriction means one-program routing is
             # being probed (scripts/bisect_vae36.py, sweep_vae36.py)
@@ -169,7 +203,7 @@ class Trainer:
         # decoder backward. The table-route loss they replace is ~41% of
         # the v2 step's device time (round-4 VAE trace: 13.0 ms/step of
         # gather fusions).
-        self._split_grid = self._split_step and (
+        self._split_grid = self._split_step and mesh is None and (
             os.environ.get("GENICONET_VAE_SPLIT_GRID", "0") == "1"
         )
         self.mesh = mesh
@@ -184,7 +218,8 @@ class Trainer:
         if mesh is not None and self.model.use_pallas:
             axes = tuple(mesh.axis_names)
             if axes == ("data",):
-                self.model = build_model(cfg, axis_name="data")
+                self.model = build_model(cfg, axis_name="data",
+                                         split_vae=want_split)
                 self._shard_map = True
             elif cfg.train.batch_size % mesh.devices.size == 0:
                 # 2-D (data, spatial) mesh + fused kernels: run FLATTENED
@@ -238,52 +273,55 @@ class Trainer:
             and self.factors.lap == 0.0
             and os.environ.get("GENICONET_FUSED_MSE", "1") == "1"
         )
-        self._jit_train_step = jax.jit(
+        self._jit_train_step = _jit(
             partial(self._train_step, with_gflow=False), donate_argnums=(0,)
         )
         # separate specialization that also materializes per-layer grad norms
         # — dispatched only on grad-flow logging steps so the hot path never
         # pays for them (reference builds its grad-flow artifact only on log
         # iterations, run.py:264-267)
-        self._jit_train_step_gflow = jax.jit(
+        self._jit_train_step_gflow = _jit(
             partial(self._train_step, with_gflow=True), donate_argnums=(0,)
         )
         # fused-dispatch variants for device-resident datasets: the batch
         # gather happens INSIDE the jitted step, so one batch = one dispatch
         # (the separate gather/weight-put/step chain costs ~2 ms/step of host
         # dispatch latency on the tunneled backend).
-        self._jit_train_step_gather = jax.jit(
+        self._jit_train_step_gather = _jit(
             partial(self._train_step_gather, with_gflow=False),
             donate_argnums=(0,),
         )
-        self._jit_train_step_gather_gflow = jax.jit(
+        self._jit_train_step_gather_gflow = _jit(
             partial(self._train_step_gather, with_gflow=True),
             donate_argnums=(0,),
         )
-        self._jit_eval_step_gather = jax.jit(self._eval_step_gather)
+        self._jit_eval_step_gather = _jit(self._eval_step_gather)
         # whole-epoch scan program (device-resident data, no mid-epoch
         # logging): ONE dispatch per epoch instead of one per step
-        self._jit_train_epoch_scan = jax.jit(
+        self._jit_train_epoch_scan = _jit(
             self._train_epoch_scan_impl, donate_argnums=(0,)
         )
         if self._split_step:
-            self._jit_split_enc_fwd = jax.jit(self._split_enc_fwd)
-            self._jit_split_dec_grad = jax.jit(self._split_dec_grad)
-            self._jit_split_enc_bwd = jax.jit(
-                partial(self._split_enc_bwd, with_gflow=False),
-                donate_argnums=(0,),
-            )
-            self._jit_split_enc_bwd_gflow = jax.jit(
-                partial(self._split_enc_bwd, with_gflow=True),
-                donate_argnums=(0,),
-            )
-            if self._split_grid:
-                self._jit_split_dec_fwd_loss = jax.jit(
-                    self._split_dec_fwd_loss)
-                self._jit_split_dec_bwd = jax.jit(self._split_dec_bwd)
-        self._jit_eval_step = jax.jit(self._eval_step)
-        self._jit_logmesh = jax.jit(self._logmesh_fwd)
-        self._jit_encode = jax.jit(self._encode_fwd)
+            if self._shard_map:
+                self._make_split_dp_jits()
+            else:
+                self._jit_split_enc_fwd = _jit(self._split_enc_fwd)
+                self._jit_split_dec_grad = _jit(self._split_dec_grad)
+                self._jit_split_enc_bwd = _jit(
+                    partial(self._split_enc_bwd, with_gflow=False),
+                    donate_argnums=(0,),
+                )
+                self._jit_split_enc_bwd_gflow = _jit(
+                    partial(self._split_enc_bwd, with_gflow=True),
+                    donate_argnums=(0,),
+                )
+                if self._split_grid:
+                    self._jit_split_dec_fwd_loss = _jit(
+                        self._split_dec_fwd_loss)
+                    self._jit_split_dec_bwd = _jit(self._split_dec_bwd)
+        self._jit_eval_step = _jit(self._eval_step)
+        self._jit_logmesh = _jit(self._logmesh_fwd)
+        self._jit_encode = _jit(self._encode_fwd)
         self.last_misc = None  # VAE: last batch's (mu, logvar), run.py:274-277
         self._host_step = 0    # host-side step mirror for logging cadence
 
@@ -479,12 +517,24 @@ class Trainer:
         return feat, upd["batch_stats"]
 
     def _split_dec_grad(self, params, batch_stats, rng_key, step, feat,
-                        tables, idx, wt, epoch):
+                        tables, idx, wt, epoch, dp=False):
         """Program 2: mu/logvar heads + reparameterize + decoder + P2P/KLD
         loss, forward AND backward — grads w.r.t. head+decoder params and
-        the trunk features."""
+        the trunk features.
+
+        ``dp=True`` runs the same program per-shard under shard_map
+        (``_make_split_dp_jits``): the reparam rng folds in the shard index
+        (same derivation as ``_sm_value_and_grad``), each shard normalizes
+        by the GLOBAL weight sum, and loss/metrics/param-grads psum to
+        their global-batch values — the trunk-feature cotangent stays
+        local (its features are batch-sharded)."""
         _, y = self._gather_batch(tables, idx)
         rng = jax.random.fold_in(rng_key, step)
+        wsum = None
+        if dp:
+            rng = jax.random.fold_in(rng, self._dp_index())
+            wsum = jax.lax.psum(
+                jnp.sum(wt.astype(jnp.float32)), self._dp_axes)
         kf = kl_factor_at_epoch(
             epoch,
             step_size=self.cfg.train.factor_step_size,
@@ -502,7 +552,7 @@ class Trainer:
                 method="decode", train=True, mutable=["batch_stats"],
             )
             loss, metrics = p2pkld_loss(
-                recon, mu, logvar, y, self.s, self.factors, kf, wt,
+                recon, mu, logvar, y, self.s, self.factors, kf, wt, wsum,
                 # grid-stencil forms push THIS program over the backend's
                 # crash threshold (vae36_sweep: split_v2 crash vs
                 # split_v2_tableloss ok) — pin the vertex-table route
@@ -514,6 +564,11 @@ class Trainer:
         (loss, (bstats_dec, metrics, misc)), (g_dec, gfeat) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, feat))
+        if dp:
+            loss = jax.lax.psum(loss, self._dp_axes)
+            metrics = jax.tree.map(
+                lambda v: jax.lax.psum(v, self._dp_axes), metrics)
+            g_dec = jax.lax.psum(g_dec, self._dp_axes)
         metrics["total"] = loss
         return loss, metrics, misc, bstats_dec, g_dec, gfeat
 
@@ -593,9 +648,12 @@ class Trainer:
 
     def _split_enc_bwd(self, state, tables, idx, gfeat, g_dec,
                        bstats_enc, bstats_dec, metrics, loss,
-                       with_gflow=False):
+                       with_gflow=False, dp=False):
         """Program 3: trunk forward re-materialized + backward (pull the
-        gfeat cotangent through), grad merge, Adam + CyclicLR."""
+        gfeat cotangent through), grad merge, Adam + CyclicLR. ``dp=True``
+        (shard_map DP): the local trunk grads psum to the global gradient
+        before merging with the already-global ``g_dec``; Adam then runs
+        replicated on every shard."""
         x, _ = self._gather_batch(tables, idx)
 
         def enc_fn(params):
@@ -607,6 +665,8 @@ class Trainer:
 
         _, vjp = jax.vjp(enc_fn, state.params)
         (g_enc,) = vjp(gfeat)
+        if dp:
+            g_enc = jax.lax.psum(g_enc, self._dp_axes)
         grads = jax.tree.map(lambda a, b: a + b, g_enc, g_dec)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -633,6 +693,51 @@ class Trainer:
             rng=state.rng,
         )
         return new_state, metrics, gflow
+
+    def _make_split_dp_jits(self):
+        """Wrap the three split-step programs in shard_map over the 1-D
+        'data' mesh (round-5, VERDICT #9): the shipping VAE bs36 default
+        becomes data-parallel without re-merging the programs — each stays
+        under the tunneled backend's program-size crash threshold while
+        XLA lowers the psums onto ICI. Batch-axis operands (idx, wt, trunk
+        features and their cotangent, the (mu, logvar) misc) shard over
+        'data'; params/state/tables replicate (`Batches` already rep-places
+        device tables under a sharding); grads/loss/metrics psum inside
+        programs 2 and 3 (see the ``dp=True`` docs on those methods), so
+        the chain computes exactly the global-batch step like the
+        monolithic `_sm_value_and_grad` route. BatchNorm moments pmean
+        over 'data' inside the model (axis_name), keeping DP global-batch
+        exact. Exercised on an 8-device virtual mesh by
+        `__graft_entry__.dryrun_multichip` and tests/test_round5.py."""
+        from jax.sharding import PartitionSpec as P
+
+        rep, dat = P(), P(*self._dp_axes)
+        mesh = self.mesh
+        self._jit_split_enc_fwd = _jit(_shard_map(
+            self._split_enc_fwd, mesh=mesh,
+            in_specs=(rep, rep, rep, dat),
+            out_specs=(dat, rep),
+        ))
+        self._jit_split_dec_grad = _jit(_shard_map(
+            partial(self._split_dec_grad, dp=True), mesh=mesh,
+            # (params, batch_stats, rng, step, feat, tables, idx, wt, epoch)
+            in_specs=(rep, rep, rep, rep, dat, rep, dat, dat, rep),
+            # (loss, metrics, (mu, logvar), bstats_dec, g_dec, gfeat)
+            out_specs=(rep, rep, (dat, dat), rep, rep, dat),
+        ))
+
+        def _bwd(gflow):
+            return _jit(_shard_map(
+                partial(self._split_enc_bwd, with_gflow=gflow, dp=True),
+                mesh=mesh,
+                # (state, tables, idx, gfeat, g_dec, bstats_enc,
+                #  bstats_dec, metrics, loss)
+                in_specs=(rep, rep, dat, dat, rep, rep, rep, rep, rep),
+                out_specs=(rep, rep, rep),
+            ), donate_argnums=(0,))
+
+        self._jit_split_enc_bwd = _bwd(False)
+        self._jit_split_enc_bwd_gflow = _bwd(True)
 
     def _split_train_step(self, state, tables, idx, wt, epoch,
                           with_gflow=False):
@@ -712,7 +817,13 @@ class Trainer:
         # a freed Batches with a new one at the same address), keyed by mode
         # (trainers with different loss configs may share a Batches)
         di, dt = batches.device_tables()
-        col_front = os.environ.get("GENICONET_COL_FRONT", "0") == "1"
+        # col-front is a CLOSED family (640 vs 2196 meshes/s on hardware,
+        # artifacts/env_sweep.json) — quarantined behind the experimental
+        # umbrella like the phase_kernel families (VERDICT r4 #6)
+        col_front = (
+            os.environ.get("GENICONET_EXPERIMENTAL", "0") == "1"
+            and os.environ.get("GENICONET_COL_FRONT", "0") == "1"
+        )
         fits = (batches.sharding is None
                 and di.nbytes + dt.nbytes <= 1024**3)
         prep_mode = self._fused_mse and fits
@@ -744,7 +855,7 @@ class Trainer:
             corner = self.cfg.model.corner_mode
             mdtype = self.model.dtype
 
-            @jax.jit
+            @_jit
             def prep(di, dt):
                 xph = phase_split(split_charts(di, s))
                 tpack, tpoles = pack_target_phases(dt, s)
@@ -779,7 +890,7 @@ class Trainer:
             corner = self.cfg.model.corner_mode
             mdtype = self.model.dtype
 
-            @jax.jit
+            @_jit
             def prep_vae(di):
                 xc = conv_im2col(phase_split(split_charts(di, s)), corner)
                 return jnp.concatenate(
@@ -852,7 +963,7 @@ class Trainer:
         key = (jax.tree.structure(tables),
                tuple((a.shape, str(a.dtype)) for a in leaves), idx.shape)
         if getattr(self, "_gather_auto_key", None) != key:
-            jit_auto = jax.jit(
+            jit_auto = _jit(
                 partial(self._train_step_gather, with_gflow=False),
                 donate_argnums=(0,),
                 in_shardings=(None, Format(Layout.AUTO), None, None, None),
@@ -882,7 +993,7 @@ class Trainer:
                 lambda leaf, fmt: fmt.sharding if _is_key(leaf) else fmt,
                 state, compiled.output_formats[0],
             )
-            self._gather_auto_jit = jax.jit(
+            self._gather_auto_jit = _jit(
                 partial(self._train_step_gather, with_gflow=False),
                 donate_argnums=(0,),
                 in_shardings=(self._gather_auto_state_fmts,
@@ -896,7 +1007,7 @@ class Trainer:
             # and made the pinned jit reject its own probed formats the
             # first time a program (merged blocks) probed a layout that
             # differs from prep()'s output
-            self._gather_auto_relayout = jax.jit(
+            self._gather_auto_relayout = _jit(
                 lambda t: t, out_shardings=self._gather_auto_fmts)
             self._gather_auto_state = None
             self._gather_auto_key = key

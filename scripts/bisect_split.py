@@ -121,6 +121,7 @@ def main():
             print("[bisect] backend never recovered; aborting", flush=True)
             return 1
         env = dict(os.environ)
+        env["GENICONET_EXPERIMENTAL"] = "1"  # probes reach quarantined knobs
         env["GENICONET_VAE_SPLIT"] = "1"  # the split chain is opt-in
         if geff is not None:
             env["GENICONET_KERNEL_GEFF"] = geff

@@ -16,6 +16,7 @@ Usage:
 import os
 import sys
 
+os.environ.setdefault("GENICONET_EXPERIMENTAL", "1")  # quarantined family
 os.environ.setdefault("GENICONET_MERGED_BWD", "all")
 
 import jax

@@ -111,21 +111,26 @@ CONFIGS = [
     # round-4k: stack the individually-noise-positive fold sites (each
     # measured +0..+19 alone; pcs1_up0/up1 and family-wide crash)
     ("fold_stack", {"GENICONET_KERNEL_GEFF": "pcs1_front,upd,pcs1_up2,ds2"}),
-    # round-4k: XLA scheduling knobs — the remaining glue fusions run at
+    # round-4k/5: XLA scheduling knobs — the remaining glue fusions run at
     # ~46% of HBM bandwidth (fusion.29 in the round-4 trace); a larger
     # scoped-vmem budget sometimes changes kLoop fusion tiling, and the
-    # latency-hiding scheduler can overlap fusion DMA with custom calls
-    ("xla_vmem64", {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=65536"}),
-    ("xla_lhs", {"XLA_FLAGS":
-                 "--xla_latency_hiding_scheduler_rerun=2"}),
+    # latency-hiding scheduler can overlap fusion DMA with custom calls.
+    # Round-5: XLA_FLAGS was the WRONG channel on this backend (host absl
+    # FATALs on TPU-only flags and accepted flags never reach the remote
+    # compiler) — these ride per-jit compiler_options instead
+    # (trainer._jit / GENICONET_COMPILER_OPTIONS).
+    ("co_vmem64", {"GENICONET_COMPILER_OPTIONS":
+                   "xla_tpu_scoped_vmem_limit_kib=65536"}),
+    ("co_lhs_rerun", {"GENICONET_COMPILER_OPTIONS":
+                      "xla_latency_hiding_scheduler_rerun=2"}),
     # round-4l: fold_up2_headfix (2164) measured BELOW default (2196) —
     # the up2 fold flipped negative after the head-backward fix, so probe
     # the ds2-only increment and the explicit default-GEFF control side
     # by side before touching defaults
     ("fold_ds2_only", {"GENICONET_KERNEL_GEFF": "pcs1_front,upd,ds2"}),
-    # latency-hiding scheduler main switch (xla_lhs above only reruns it)
-    ("xla_lhs_on", {"XLA_FLAGS":
-                    "--xla_tpu_enable_latency_hiding_scheduler=true"}),
+    # latency-hiding scheduler main switch (co_lhs_rerun above only reruns it)
+    ("co_lhs_on", {"GENICONET_COMPILER_OPTIONS":
+                   "xla_tpu_enable_latency_hiding_scheduler=true"}),
     # k-budget re-probe at the round-4 program shape (grid-stencil loss +
     # headfix changed inter-kernel pipelining since the round-3 -28 result)
     ("kb18", {"GENICONET_K_BUDGET_MB": "18"}),
@@ -203,6 +208,9 @@ def main():
             print("[sweep] backend never recovered; aborting", flush=True)
             return 1
         env = dict(os.environ)
+        # closed-family knobs are quarantined behind the umbrella
+        # (phase_kernel._exp_env) — probes must still reach them
+        env["GENICONET_EXPERIMENTAL"] = "1"
         env.update(envs)
         print(f"[sweep] running {name} ({envs})", flush=True)
         t0 = time.time()

@@ -104,6 +104,7 @@ def main():
             print("[sweep] backend never recovered; aborting", flush=True)
             return 1
         env = dict(os.environ)
+        env["GENICONET_EXPERIMENTAL"] = "1"  # probes reach quarantined knobs
         env["GENICONET_KERNEL_GEFF"] = geff
         print(f"[sweep] running {name} (GEFF={geff})", flush=True)
         t0 = time.time()

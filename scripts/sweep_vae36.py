@@ -133,6 +133,7 @@ def main():
             print("[sweep] backend never recovered; aborting", flush=True)
             return 1
         env = dict(os.environ)
+        env["GENICONET_EXPERIMENTAL"] = "1"  # probes reach quarantined knobs
         if blocks is None:  # split-step v2: all blocks fused, 3 programs
             env.pop("GENICONET_PALLAS_BLOCKS", None)
             env["GENICONET_VAE_SPLIT"] = "1"

@@ -10,6 +10,7 @@ K=21 contraction)."""
 
 import os
 
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +27,18 @@ from geniconet_tpu.ops.phase import (
 )
 from geniconet_tpu.train.config import Config
 from geniconet_tpu.train.trainer import Trainer
+
+
+# CLOSED family (measured negative/crashing on hardware,
+# artifacts/env_sweep.json): knobs are quarantined behind the
+# GENICONET_EXPERIMENTAL umbrella and these interpret-mode tests ride
+# the slow tier only (round-5, VERDICT r4 #6)
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(autouse=True)
+def _experimental_umbrella(monkeypatch):
+    monkeypatch.setenv("GENICONET_EXPERIMENTAL", "1")
 
 
 def _rand_phases(key, s=3, B=2, C=3):

@@ -29,7 +29,9 @@ def _interpret_mode():
 def _merged_bwd(request, monkeypatch):
     # cover BOTH backward routes: separate dx/dtaps kernels with the XLA
     # stats fold ("0", the hardware default) and the merged single-kernel
-    # backward ("1", opt-in until root-caused on real Mosaic)
+    # backward ("1", a closed family quarantined behind the experimental
+    # umbrella — interpret-mode parity coverage is kept here)
+    monkeypatch.setenv("GENICONET_EXPERIMENTAL", "1")
     monkeypatch.setenv("GENICONET_MERGED_BWD", request.param)
 
 

@@ -9,6 +9,7 @@ recomposed backward (_pcs1_bwd + affine chain + _upd_bwd).
 
 import os
 
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,7 +18,16 @@ import pytest
 from geniconet_tpu.nn.layers import UpBlock
 from geniconet_tpu.ops.pallas import phase_kernel as pk
 
-pytestmark = pytest.mark.usefixtures("interpret_mode")
+# CLOSED family (measured negative/crashing on hardware,
+# artifacts/env_sweep.json): knobs are quarantined behind the
+# GENICONET_EXPERIMENTAL umbrella and these interpret-mode tests ride
+# the slow tier only (round-5, VERDICT r4 #6)
+@pytest.fixture(autouse=True)
+def _experimental_umbrella(monkeypatch):
+    monkeypatch.setenv("GENICONET_EXPERIMENTAL", "1")
+
+
+pytestmark = [pytest.mark.usefixtures("interpret_mode"), pytest.mark.slow]
 
 
 @pytest.fixture()

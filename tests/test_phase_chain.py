@@ -5,6 +5,7 @@ reproduce the default fused route exactly (fp32, interpret mode) through
 forward, loss, gradients, optimizer step, running stats, and eval."""
 
 import jax
+
 import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
@@ -13,6 +14,18 @@ from geniconet_tpu.data.datasets import synthetic_dataset
 from geniconet_tpu.data.pipeline import Batches
 from geniconet_tpu.train.config import Config
 from geniconet_tpu.train.trainer import Trainer
+
+
+# CLOSED family (measured negative/crashing on hardware,
+# artifacts/env_sweep.json): knobs are quarantined behind the
+# GENICONET_EXPERIMENTAL umbrella and these interpret-mode tests ride
+# the slow tier only (round-5, VERDICT r4 #6)
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(autouse=True)
+def _experimental_umbrella(monkeypatch):
+    monkeypatch.setenv("GENICONET_EXPERIMENTAL", "1")
 
 
 @pytest.fixture(autouse=True)

@@ -214,6 +214,7 @@ def test_kernel_geff_fold_matches_xla_fold(fam, monkeypatch):
         args = (x_std, ta, ba)
 
     grad = jax.grad(loss, argnums=(0, 1, 2))
+    monkeypatch.setenv("GENICONET_EXPERIMENTAL", "1")  # GEFF env is quarantined
     monkeypatch.setenv("GENICONET_KERNEL_GEFF", "0")
     g_xla = grad(*args)
     monkeypatch.setenv("GENICONET_KERNEL_GEFF", fam)
@@ -265,6 +266,7 @@ def test_phase_conv_s1_k2_pack_matches(monkeypatch, corner_mode):
         outs = pk.fused_phase_conv_s1(phases, taps, bias, corner_mode)
         return sum(jnp.sum(o**2) for o in outs)
 
+    monkeypatch.setenv("GENICONET_EXPERIMENTAL", "1")  # closed family
     monkeypatch.delenv("GENICONET_K2_MAX", raising=False)
     ref_l = loss(phases, taps, bias)
     ref_g = jax.grad(loss, argnums=(0, 1, 2))(phases, taps, bias)
@@ -290,6 +292,7 @@ def test_phase_conv_s1_im2col_scratch_matches(monkeypatch, corner_mode):
         return sum(jnp.sum(o**2) for o in outs)
 
     # per-tap reference (im2col off at 7*8=56 > max 0)
+    monkeypatch.setenv("GENICONET_EXPERIMENTAL", "1")  # closed family
     monkeypatch.setenv("GENICONET_IM2COL_MAX", "0")
     monkeypatch.delenv("GENICONET_IM2COL_SCRATCH", raising=False)
     ref_l = loss(phases, taps, bias)

@@ -441,6 +441,8 @@ def test_p2p_loss_grid_route_matches_vertex_route(monkeypatch):
 def test_geff_env_respects_crash_workaround(monkeypatch):
     from geniconet_tpu.ops.pallas.phase_kernel import _kernel_geff_enabled
 
+    # GEFF overrides are quarantined (round-5); parsing still testable
+    monkeypatch.setenv("GENICONET_EXPERIMENTAL", "1")
     # default: allow gates the built-in families
     monkeypatch.delenv("GENICONET_KERNEL_GEFF", raising=False)
     assert _kernel_geff_enabled("pcs1_front", allow=True)
