@@ -1105,9 +1105,15 @@ class Trainer:
         # the scanned route only ever reads the final step (the log cadence
         # never fires inside a scanned epoch — _can_scan_epoch), and host-
         # slicing a stacked tree cost ~8 extra dispatches per epoch on the
-        # tunneled backend (~0.5 ms/step at 10-batch epochs)
+        # tunneled backend (~0.5 ms/step at 10-batch epochs).
+        # GENICONET_SCAN_UNROLL>1 unrolls the scan body so XLA can overlap
+        # one step's boundary glue (stats-fold fusions, layout copies) with
+        # the next step's kernels across the iteration edge — a program-
+        # size trade probed on hardware (sweep scan_unroll*).
+        unroll = int(os.environ.get("GENICONET_SCAN_UNROLL", "1"))
         (state, metrics, misc), _ = jax.lax.scan(
-            body, (state, m0, misc), (order[1:], wts[1:]))
+            body, (state, m0, misc), (order[1:], wts[1:]),
+            unroll=max(1, unroll))
         return state, metrics, misc
 
     def _can_scan_epoch(self, batches: Batches, nb: int) -> bool:

@@ -134,6 +134,17 @@ CONFIGS = [
     # k-budget re-probe at the round-4 program shape (grid-stencil loss +
     # headfix changed inter-kernel pipelining since the round-3 -28 result)
     ("kb18", {"GENICONET_K_BUDGET_MB": "18"}),
+    # round-5: scan-body unrolling — the single-dispatch epoch scan is the
+    # headline program (bench value_scan); unroll=k lets XLA overlap one
+    # step's boundary glue (stats-fold fusions, layout copies, ~4 ms of
+    # non-kernel device time) with the next step's kernels across the
+    # iteration edge, at k× body program size. Measured in SCAN mode
+    # (GENICONET_SWEEP_SCAN routes the sweep through the scan program).
+    ("scan_ctrl", {"GENICONET_SWEEP_SCAN": "1"}),
+    ("scan_unroll2", {"GENICONET_SWEEP_SCAN": "1",
+                      "GENICONET_SCAN_UNROLL": "2"}),
+    ("scan_unroll3", {"GENICONET_SWEEP_SCAN": "1",
+                      "GENICONET_SCAN_UNROLL": "3"}),
 ]
 
 _BENCH = r"""
@@ -163,15 +174,39 @@ idx, wt = next(iter(batches.epoch_indices()))
 tables, (state, m, _, _) = tr.gather_train_step(state, tables, idx, wt, 0)
 float(jax.device_get(m["total"]))
 best = 0.0
-for rep in range(4):
-    t0 = time.perf_counter()
-    for _ in range(30):
-        tables, (state, m, _, _) = tr.gather_train_step(state, tables, idx, wt, 0)
-    loss = float(jax.device_get(m["total"]))
-    dt = time.perf_counter() - t0
-    mps = 36 * 30 / dt
-    best = max(best, mps)
-    print(f"rep {{rep}}: {{mps:.1f}} meshes/s ({{dt/30*1000:.2f}} ms/step, loss {{loss:.5f}})", flush=True)
+if os.environ.get("GENICONET_SWEEP_SCAN", "0") == "1":
+    # scan mode: measure the single-dispatch epoch-scan program (the
+    # bench headline value_scan) — a constant batch plan re-feeding one
+    # batch, like bench.py phase (a2)
+    import jax.numpy as jnp
+    import numpy as np
+    nb = len(batches)
+    order = np.broadcast_to(np.asarray(idx), (nb,) + np.asarray(idx).shape)
+    wts = np.broadcast_to(np.asarray(wt), (nb,) + np.asarray(wt).shape)
+    rtabs = getattr(tr, "_gather_auto_tables", None) or tables
+    state, lm, _ = tr._jit_train_epoch_scan(
+        state, rtabs, jnp.asarray(order), jnp.asarray(wts), 0)
+    float(jax.device_get(lm["total"]))
+    for rep in range(4):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            state, lm, _ = tr._jit_train_epoch_scan(
+                state, rtabs, jnp.asarray(order), jnp.asarray(wts), 0)
+        loss = float(jax.device_get(lm["total"]))
+        dt = time.perf_counter() - t0
+        mps = 36 * nb * 3 / dt
+        best = max(best, mps)
+        print(f"rep {{rep}}: {{mps:.1f}} meshes/s (scan, loss {{loss:.5f}})", flush=True)
+else:
+    for rep in range(4):
+        t0 = time.perf_counter()
+        for _ in range(30):
+            tables, (state, m, _, _) = tr.gather_train_step(state, tables, idx, wt, 0)
+        loss = float(jax.device_get(m["total"]))
+        dt = time.perf_counter() - t0
+        mps = 36 * 30 / dt
+        best = max(best, mps)
+        print(f"rep {{rep}}: {{mps:.1f}} meshes/s ({{dt/30*1000:.2f}} ms/step, loss {{loss:.5f}})", flush=True)
 print(f"BENCH_OK {{best:.2f}}", flush=True)
 """
 

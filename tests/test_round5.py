@@ -118,6 +118,44 @@ class TestSustainArtifact:
         assert out["meshes"] == 400 * 36
 
 
+def test_scan_unroll_matches_default(monkeypatch):
+    """GENICONET_SCAN_UNROLL=2 (XLA overlap probe for the epoch-scan
+    program) must not change the trajectory."""
+    from geniconet_tpu.data.datasets import synthetic_dataset
+    from geniconet_tpu.data.pipeline import Batches
+    from geniconet_tpu.train.config import Config
+    from geniconet_tpu.train.trainer import Trainer
+
+    def run(unroll):
+        if unroll:
+            monkeypatch.setenv("GENICONET_SCAN_UNROLL", unroll)
+        else:
+            monkeypatch.delenv("GENICONET_SCAN_UNROLL", raising=False)
+        cfg = Config()
+        cfg.model.name = "ico2ico"
+        cfg.model.subdivisions = 3
+        cfg.model.widths = (8, 12, 16)
+        cfg.train.batch_size = 8
+        cfg.train.log_freq = 10_000
+        cfg.train.log_grad_freq = 0
+        ds = synthetic_dataset(3, 32, seed=0)
+        tr = Trainer(cfg)
+        st = tr.init_state(ds.inputs[:1], seed=3)
+        b = Batches(ds, 8, shuffle=True, seed=11)
+        tr._host_step = 1
+        assert tr._can_scan_epoch(b, len(b))
+        st, info = tr.train_epoch(st, b, 0)
+        return (float(jax.device_get(info["last_device"]["total"])),
+                jax.device_get(st.params))
+
+    l1, p1 = run(None)
+    l2, p2 = run("2")
+    np.testing.assert_allclose(l2, l1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # closed-family quarantine (VERDICT r4 #6)
 # ---------------------------------------------------------------------------
