@@ -39,6 +39,10 @@ CONFIGS = [
     # execution is expected to be HBM-bound — the estimate quantifies it.
     ("s7_xla_bs4_compile", {"s": 7, "bs": 4, "pallas": 0, "steps": 0}),
     ("s7_xla_bs12_compile", {"s": 7, "bs": 12, "pallas": 0, "steps": 0}),
+    # s7 execution attempt, tiny batch (runs LAST — a backend crash here
+    # must not starve the configs above of TPU time)
+    ("s7_xla_bs2_exec", {"s": 7, "bs": 2, "pallas": 0, "steps": 5}),
+    ("s7_pallas_bs2_exec", {"s": 7, "bs": 2, "pallas": 1, "steps": 5}),
 ]
 
 _BODY = r"""
