@@ -84,8 +84,13 @@ def build():
     # transfer + scan dispatch, ~1.3 ms on the tunnel) amortize closer to a
     # real dataset's (ModelNet10 train = 111 batches/epoch); 720+ samples
     # push the AUTO-layout gather fusion past the backend's 16.35M scoped
-    # VMEM at compile (measured round-4)
-    ds = synthetic_dataset(5, 360, seed=0)
+    # VMEM at compile (measured round-4). GENICONET_BENCH_DS overrides —
+    # the orchestrator retries a deterministically-crashing train phase at
+    # 180 samples (nb=5), the shape the sweep's scan mode measures cleanly
+    # (round-5: the nb=10 epoch/scan programs INTERNAL-crash the backend
+    # in some states while nb=5 passes — same program-size crash class)
+    ds = synthetic_dataset(
+        5, int(os.environ.get("GENICONET_BENCH_DS", "360")), seed=0)
     trainer = Trainer(cfg)
     state = trainer.init_state(ds.inputs[:1])
     batches = Batches(ds, 36, shuffle=False)
@@ -390,10 +395,21 @@ def _run_phase(phase, merged, deadline, retries=3, warm_reruns=0):
         wait_for_backend(min(float(os.environ.get(
             "GENICONET_BENCH_WAIT_S", "1800")), max(budget - 120, 60)))
         print(f"bench: phase {phase} attempt {attempt}", file=sys.stderr)
+        env = dict(os.environ)
+        if phase == "train" and failures >= 1:
+            # the first failure may be a transient; a second straight
+            # failure of the SAME phase looks deterministic (BENCH_r04 +
+            # round-5 validation: the nb=10 epoch/scan programs crash while
+            # nb=5 passes) — degrade the dataset shape and note it
+            env.setdefault("GENICONET_BENCH_DS", "180")
+            merged["bench_ds_fallback"] = int(env["GENICONET_BENCH_DS"])
+            print("bench: retrying train phase with GENICONET_BENCH_DS="
+                  f"{env['GENICONET_BENCH_DS']} (nb=5 epoch shape)",
+                  file=sys.stderr)
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--phase", phase],
-                capture_output=True, text=True,
+                capture_output=True, text=True, env=env,
                 timeout=min(float(os.environ.get(
                     "GENICONET_BENCH_PHASE_TIMEOUT_S", "2400")), budget),
             )
@@ -490,6 +506,11 @@ def main():
     }
     if "cold_compile_s" in merged:
         out["cold_compile_s"] = merged["cold_compile_s"]
+    if "bench_ds_fallback" in merged:
+        # train phase re-ran at a smaller resident dataset (nb=5) after
+        # repeated crashes at the nb=10 shape — same step program, epoch
+        # costs amortized over half the steps
+        out["bench_ds_fallback"] = merged["bench_ds_fallback"]
     print(json.dumps(out))
     return 0 if value is not None else 1
 
