@@ -396,11 +396,14 @@ def _run_phase(phase, merged, deadline, retries=3, warm_reruns=0):
             "GENICONET_BENCH_WAIT_S", "1800")), max(budget - 120, 60)))
         print(f"bench: phase {phase} attempt {attempt}", file=sys.stderr)
         env = dict(os.environ)
-        if phase == "train" and failures >= 1:
-            # the first failure may be a transient; a second straight
-            # failure of the SAME phase looks deterministic (BENCH_r04 +
+        if phase == "train" and failures >= 2:
+            # one failure is usually a wedge-transient (first executions
+            # after a backend crash can die anywhere); two straight
+            # failures of the SAME phase look deterministic (BENCH_r04 +
             # round-5 validation: the nb=10 epoch/scan programs crash while
-            # nb=5 passes) — degrade the dataset shape and note it
+            # nb=5 passes) — degrade the dataset shape and note it. The
+            # nb=5 numbers amortize per-window dispatch over half the
+            # steps (~1.5 ms/step penalty on the scan metric).
             env.setdefault("GENICONET_BENCH_DS", "180")
             merged["bench_ds_fallback"] = int(env["GENICONET_BENCH_DS"])
             print("bench: retrying train phase with GENICONET_BENCH_DS="
