@@ -389,13 +389,17 @@ def _run_phase(phase, merged, deadline, retries=3, warm_reruns=0):
     """Run one phase in a subprocess, retrying after transient backend
     crashes; fold every completed BENCH_SECTION into `merged`.
 
-    Returns the number of failed attempts (for the transparency counter).
-    A killed/crashed attempt still contributes the sections it completed —
-    the retry only exists to fill in what's missing, with the persistent
-    compile cache making re-compiles cheap.
+    Returns ``(failures, completed)``: the number of failed attempts and
+    whether the phase eventually finished (so the caller can report
+    recovered vs unrecovered failures honestly). A killed/crashed attempt
+    still contributes the sections it completed — the retry only exists to
+    fill in what's missing, with the persistent compile cache making
+    re-compiles cheap. Deterministic failures (no transient backend error
+    class in stderr and no timeout) stop the retry loop immediately.
     """
     failures = 0
     attempt = 0
+    degraded_ds = None
     while attempt < retries:
         attempt += 1
         budget = deadline - time.time()
@@ -416,10 +420,13 @@ def _run_phase(phase, merged, deadline, retries=3, warm_reruns=0):
             # nb=5 numbers amortize per-window dispatch over half the
             # steps (~1.5 ms/step penalty on the scan metric).
             env.setdefault("GENICONET_BENCH_DS", "180")
-            merged["bench_ds_fallback"] = int(env["GENICONET_BENCH_DS"])
+            degraded_ds = int(env["GENICONET_BENCH_DS"])
             print("bench: retrying train phase with GENICONET_BENCH_DS="
                   f"{env['GENICONET_BENCH_DS']} (nb=5 epoch shape)",
                   file=sys.stderr)
+        # re-read the clock: wait_for_backend may have slept away most of
+        # the budget — the subprocess timeout must respect what is LEFT
+        budget = max(deadline - time.time(), 120)
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--phase", phase],
@@ -440,6 +447,10 @@ def _run_phase(phase, merged, deadline, retries=3, warm_reruns=0):
         fresh, done = _parse_phase_output(out)
         merged.update(fresh)
         if done and rc == 0:
+            # record the degrade only when the degraded attempt is the one
+            # that actually produced the sections
+            if degraded_ds is not None:
+                merged["bench_ds_fallback"] = degraded_ds
             # cold-cache seeding run: the first compile was cold, so the
             # throughput numbers rode a freshly-seeded cache — re-run once
             # warm and let the warm numbers overwrite (VERDICT r4 #1)
@@ -453,12 +464,19 @@ def _run_phase(phase, merged, deadline, retries=3, warm_reruns=0):
                 merged["cold_compile_s"] = fresh["compile_first_step_s"]
                 warm_reruns -= 1
                 continue
-            return failures
+            return failures, True
         failures += 1
         print(f"bench: phase {phase} attempt {attempt} failed (rc={rc}); "
               f"sections kept: {sorted(fresh)}", file=sys.stderr)
+        transient = rc == -1 or any(t in err for t in _TRANSIENT)
+        if not transient:
+            # ImportError / bad env / assertion — retrying cannot help
+            print(f"bench: {phase} failure looks deterministic (no "
+                  f"transient backend error class in stderr); not "
+                  f"retrying", file=sys.stderr)
+            break
         time.sleep(60)
-    return failures
+    return failures, False
 
 
 def main():
@@ -474,9 +492,14 @@ def main():
         os.environ.get("GENICONET_BENCH_DEADLINE_S", "5400"))
     merged = {}
     recoveries = 0
+    unrecovered = 0
     try:
-        recoveries += _run_phase("train", merged, deadline, warm_reruns=1)
-        recoveries += _run_phase("decode", merged, deadline)
+        for phase, kw in (("train", {"warm_reruns": 1}), ("decode", {})):
+            failures, completed = _run_phase(phase, merged, deadline, **kw)
+            if completed:
+                recoveries += failures
+            else:
+                unrecovered += failures
     except Exception as e:  # noqa: BLE001 — the JSON line must still print
         print(f"bench: orchestrator error: {type(e).__name__}: {e}",
               file=sys.stderr)
@@ -500,6 +523,7 @@ def main():
         "decode_device_ms": merged.get("decode_device_ms"),
         "compile_first_step_s": merged.get("compile_first_step_s"),
         "transient_failures_recovered": recoveries,
+        "unrecovered_failures": unrecovered,
         "note": "value=resident-batch step throughput through the "
                 f"{value_src} step program (one batch re-fed; dispatch "
                 "amortized — this host reaches the chip via a network "

@@ -299,11 +299,32 @@ def import_pt_checkpoint(cfg: Config) -> str:
     trainer = Trainer(cfg)
     state = trainer.init_state(
         np.zeros((1, H, W, 3), np.float32), seed=cfg.train.seed)
-    # shape/type-check the imported trees against the live model's
+    # from_state_dict validates STRUCTURE only — check every leaf's shape
+    # against the live model explicitly so a widths/subdivision mismatch
+    # fails here, at the import, not later with a cryptic apply error
     params = flax.serialization.from_state_dict(
         jax.device_get(state.params), imported["params"])
     bstats = flax.serialization.from_state_dict(
         jax.device_get(state.batch_stats), imported["batch_stats"])
+
+    def _check_shapes(live, got, what):
+        bad = []
+        live_f = jax.tree_util.tree_flatten_with_path(live)[0]
+        got_f = jax.tree_util.tree_flatten_with_path(got)[0]
+        for (pa, a), (_, b) in zip(live_f, got_f):
+            if tuple(np.shape(a)) != tuple(np.shape(b)):
+                name = "/".join(str(getattr(k, "key", k)) for k in pa)
+                bad.append(f"{name}: model {np.shape(a)} vs "
+                           f"checkpoint {np.shape(b)}")
+        if bad:
+            raise ValueError(
+                f"imported {what} do not fit the configured model "
+                f"(--model {cfg.model.name}, subdivision "
+                f"{cfg.model.subdivisions}, widths {cfg.model.widths}): "
+                + "; ".join(bad[:5]))
+
+    _check_shapes(jax.device_get(state.params), params, "params")
+    _check_shapes(jax.device_get(state.batch_stats), bstats, "batch_stats")
     misc = None
     raw_misc = imported.get("misc")
     if raw_misc:  # reference run.py:274-277: [{'trn_mean': .., 'trn_logvar': ..}]

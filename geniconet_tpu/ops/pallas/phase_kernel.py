@@ -970,7 +970,13 @@ def _kernel_geff_enabled(family: str = "", allow: bool = True) -> bool:
     which is an explicit opt-in to the crash risk."""
     import os
 
-    v = _exp_env("GENICONET_KERNEL_GEFF", "")
+    # GEFF is the one quarantined knob whose DEFAULT is ON (the shipped
+    # pcs1_front+upd folds), so the plain opt-OUT ('0') must stay live
+    # without the umbrella — only non-default fold SETS are experimental
+    # (round-5 review: _exp_env alone made '=0' silently inert)
+    v = os.environ.get("GENICONET_KERNEL_GEFF", "")
+    if v not in ("", "0"):
+        v = _exp_env("GENICONET_KERNEL_GEFF", "")
     if v.startswith("!"):
         v = v[1:]
     elif not allow:

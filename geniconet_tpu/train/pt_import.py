@@ -149,8 +149,30 @@ class _RestrictedUnpickler(pickle.Unpickler):
                         *_unused) -> np.ndarray:
         size = tuple(int(s) for s in size)
         stride = tuple(int(s) for s in stride)
+        offset = int(offset)
+        # bounds-check the view against the backing storage BEFORE
+        # as_strided: size/stride/offset come straight from the pickle and
+        # are otherwise unvalidated — a malformed file must raise, not
+        # read out-of-bounds process memory (untrusted-input contract)
+        if offset < 0 or any(s < 0 for s in size) or any(
+                st < 0 for st in stride):
+            raise pickle.UnpicklingError(
+                f"tensor view with negative offset/size/stride "
+                f"({offset}, {size}, {stride})")
         if not size:
+            if offset >= storage.size:
+                raise pickle.UnpicklingError(
+                    f"scalar tensor offset {offset} beyond storage "
+                    f"({storage.size} elements)")
             return storage[offset:offset + 1].copy().reshape(())
+        last = offset
+        if all(size):
+            last = offset + sum((s - 1) * st for s, st in zip(size, stride))
+        if last >= storage.size and all(size):
+            raise pickle.UnpicklingError(
+                f"tensor view (offset {offset}, size {size}, stride "
+                f"{stride}) reaches element {last} of a "
+                f"{storage.size}-element storage")
         view = np.lib.stride_tricks.as_strided(
             storage[offset:],
             shape=size,
@@ -347,10 +369,21 @@ def load_reference_checkpoint(path: str, model_name: str = "ico2ico",
     sd = ckpt.get("model_state_dict", ckpt)
     params, stats, skipped = import_state_dict(sd, model_name, tap_order)
     n_total = len(sd)
-    print(f"[pt_import] mapped {n_total - len(skipped)}/{n_total} reference "
+    n_mapped = n_total - len(skipped)
+    print(f"[pt_import] mapped {n_mapped}/{n_total} reference "
           f"keys onto the {model_name} tree"
           + (f"; skipped buffers/unknown: {sorted(skipped)[:6]}..."
              if skipped else ""))
+    # fail fast instead of returning a near-empty tree: a checkpoint whose
+    # keys carry an unexpected prefix (e.g. torch DataParallel's
+    # 'module.encoder.0...') maps nothing and would otherwise surface much
+    # later as a shape error in whatever consumes the import
+    if not params or n_mapped == 0:
+        sample = sorted(sd)[:4]
+        raise ValueError(
+            f"no reference parameters mapped from {path!r} (model "
+            f"{model_name}); first keys: {sample} — if they carry a "
+            "prefix (e.g. 'module.'), strip it before importing")
     return {
         "params": params,
         "batch_stats": stats,

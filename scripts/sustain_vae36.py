@@ -1,9 +1,11 @@
 """Sustained-throughput run of the shipping VAE bs36 fast path.
 
 Drives EXACTLY the shipping default program (split-step v2: all blocks
-fused across three dispatched programs, grid-stencil loss with the
-scatter-free backwards, bs36, device-resident gather steps via
-`Trainer.gather_train_step`) for --minutes, shuffling the batch index
+fused across three dispatched programs, vertex-TABLE-route loss pinned
+in the decoder program — allow_grid=False, trainer._split_dec_grad —
+with the scatter-free gather-transpose backwards, bs36, device-resident
+gather steps via `Trainer.gather_train_step`) for --minutes, shuffling
+the batch index
 each step, with a heartbeat every 400 steps (~10 s at 25 ms/step). This
 is the sustained evidence for the split-step default; unlike
 scripts/soak.py it does NOT interleave the per-epoch

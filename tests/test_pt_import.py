@@ -298,3 +298,54 @@ def test_vae_import_matches_flax_tree_and_runs(tmp_path):
         {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]},
         mu, method="decode")
     assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+
+def test_rebuild_tensor_bounds_checked():
+    """Round-5 review: size/stride/offset come straight from the pickle —
+    a view that reaches past the storage must raise, never read
+    out-of-bounds process memory (untrusted-input contract)."""
+    import pickle
+
+    from geniconet_tpu.train.pt_import import _RestrictedUnpickler
+
+    storage = np.zeros(4, np.float32)
+    rebuild = _RestrictedUnpickler._rebuild_tensor
+    # in-bounds view is fine
+    assert rebuild(storage, 0, (2, 2), (2, 1)).shape == (2, 2)
+    with pytest.raises(pickle.UnpicklingError):
+        rebuild(storage, 0, (100000,), (1,))
+    with pytest.raises(pickle.UnpicklingError):
+        rebuild(storage, 3, (2,), (1,))
+    with pytest.raises(pickle.UnpicklingError):
+        rebuild(storage, 0, (2,), (-1,))
+    with pytest.raises(pickle.UnpicklingError):
+        rebuild(storage, 10, (), ())
+
+
+def test_unmapped_prefix_fails_fast(tmp_path):
+    """A state dict whose keys carry an unexpected prefix (torch
+    DataParallel's 'module.') maps nothing — the importer must raise with
+    a hint, not return a near-empty tree."""
+    from geniconet_tpu.train.pt_import import load_reference_checkpoint
+
+    sd = {f"module.{k}": v for k, v in _ae_state_dict().items()}
+    path = _save(str(tmp_path), sd, "ico2ico_prefixed.pt")
+    with pytest.raises(ValueError, match="prefix"):
+        load_reference_checkpoint(path, "ico2ico")
+
+
+def test_cli_load_pt_shape_mismatch_fails_at_import(tmp_path):
+    """--load_pt with a config whose widths disagree with the checkpoint
+    must fail AT THE IMPORT with a clear message (from_state_dict alone
+    validates structure only, not shapes)."""
+    from geniconet_tpu import cli
+
+    sd = _ae_state_dict()  # reference widths 64/128/256
+    path = _save(str(tmp_path), sd, "ico2ico_EB696.pt")
+    logdir = str(tmp_path / "log")
+    with pytest.raises(ValueError, match="do not fit"):
+        cli.main([
+            "--model", "ico2ico", "--process", "test", "--synthetic", "6",
+            "--subdivision", "3", "--batch_size", "8", "--logDir", logdir,
+            "--widths", "8", "12", "16", "--load_pt", path,
+        ])

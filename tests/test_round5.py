@@ -181,6 +181,10 @@ class TestExperimentalQuarantine:
         # GEFF falls back to the hardware-validated built-in default
         assert pk._kernel_geff_enabled("pcs1_front", allow=True)
         assert not pk._kernel_geff_enabled("ds2", allow=True)
+        # ...but the plain opt-OUT stays live without the umbrella (GEFF
+        # is the only quarantined knob whose default is ON)
+        monkeypatch.setenv("GENICONET_KERNEL_GEFF", "0")
+        assert not pk._kernel_geff_enabled("pcs1_front", allow=True)
 
     def test_knobs_live_under_umbrella(self, monkeypatch):
         from geniconet_tpu.ops.pallas import phase_kernel as pk
