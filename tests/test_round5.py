@@ -67,17 +67,22 @@ class TestParsePhaseOutput:
 
 
 class TestHeadlineValue:
-    def test_prefers_scan(self):
+    def test_takes_best_step_measurement(self):
         b = _bench()
         v, src = b._headline_value(
-            {"value_scan": 3, "epoch_loop_value": 2,
+            {"value_scan": 3, "epoch_loop_value": 9,
              "value_per_step_dispatch": 1})
         assert v == 3 and src == "single-dispatch scan"
-
-    def test_degrades_to_epoch_then_per_step(self):
-        b = _bench()
+        # degraded nb=5 shape: 5-step scan windows carry more per-window
+        # overhead than a pipelined 30-step per-step run — the headline
+        # takes whichever measured higher (same program either way)
         v, src = b._headline_value(
-            {"epoch_loop_value": 2, "value_per_step_dispatch": 1})
+            {"value_scan": 2065.0, "value_per_step_dispatch": 2183.0})
+        assert v == 2183.0 and src == "per-step dispatch"
+
+    def test_epoch_loop_is_last_resort(self):
+        b = _bench()
+        v, src = b._headline_value({"epoch_loop_value": 2})
         assert v == 2 and "epoch loop" in src
         v, src = b._headline_value({"value_per_step_dispatch": 1})
         assert v == 1 and "per-step dispatch" in src
